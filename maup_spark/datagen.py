@@ -1,0 +1,138 @@
+"""Deterministic synthetic geometry layers over the driver testdata.
+
+Everything here is *derived arithmetic* over the driver-generated tables
+(/root/testdata/sf*/…, TESTDATA.md) so that (a) the layers are
+bit-reproducible at any scale with no external data, and (b) each
+derivation has an exact ANSI-SQL twin that DuckDB can evaluate for the
+correctness oracles (both engines do the same IEEE-double ops in the
+same order).
+
+Layers (shapes mirror the reference's Providence-RI examples, see
+FIXTURES.md §2 and /root/reference/tests/test_assign.py:144-160):
+
+- ``points``       — one geotagged entity per document (plays "blocks").
+  lon/lat land strictly inside grid cells (fraction .0005 offsets) so no
+  point ever sits on a district boundary.
+- ``districts``    — 10°×10° world grid with every 7th cell knocked out,
+  so some points/rects are *unassigned* (exercises the NaN/warn path of
+  /root/reference/maup/assign.py:29-35).
+- ``source_rects`` — a 3°×2° rectangle centered on each point (plays the
+  fine source layer for polygon assign/intersections/prorate).
+- ``nation_grid``  — 5×5 unit squares keyed by n_nationkey (adjacency
+  fixtures; rook/queen neighborhoods are pure index arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .geom.base import Geometry
+
+# -- point derivation (identical text in Spark SQL and DuckDB SQL) ---------
+# double-typed end to end (…e0 literals) so Spark SQL and DuckDB do the
+# exact same IEEE-754 ops in the same order → bit-identical coordinates
+LON_SQL = "(CAST((doc_id * 48271) % 360000 AS DOUBLE) / 1000.0e0 - 180.0e0 + 0.0005e0)"
+LAT_SQL = "(CAST((doc_id * 16807) % 180000 AS DOUBLE) / 1000.0e0 - 90.0e0 + 0.0005e0)"
+
+# -- district grid parameters ----------------------------------------------
+D_NX, D_NY = 36, 18  # 10° cells
+D_W, D_H = 10.0, 10.0
+KNOCKOUT = 7  # cells with (di + dj) % 7 == 0 do not exist
+
+# source rectangle half-extents
+RX, RY = 1.5, 1.0
+
+DISTRICT_ID_SQL = (
+    f"(CAST(FLOOR((lat + 90.0) / {D_H}) AS BIGINT) * {D_NX} "
+    f"+ CAST(FLOOR((lon + 180.0) / {D_W}) AS BIGINT))"
+)
+
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged entity per document; plays the role of maup's blocks."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id",
+        f"{LON_SQL} AS lon",
+        f"{LAT_SQL} AS lat",
+        "n_chars",
+    )
+
+
+def points_oracle_cte() -> str:
+    return (
+        "SELECT doc_id, "
+        f"{LON_SQL} AS lon, {LAT_SQL} AS lat, n_chars FROM documents"
+    )
+
+
+def _rect_wkb(x0: float, y0: float, x1: float, y1: float) -> bytes:
+    return Geometry.polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]).wkb
+
+
+def districts(spark: SparkSession) -> DataFrame:
+    """10°×10° world grid districts with deterministic knockouts."""
+    rows = []
+    for dj in range(D_NY):
+        for di in range(D_NX):
+            if (di + dj) % KNOCKOUT == 0:
+                continue
+            x0, y0 = -180.0 + di * D_W, -90.0 + dj * D_H
+            rows.append(
+                (dj * D_NX + di, _rect_wkb(x0, y0, x0 + D_W, y0 + D_H))
+            )
+    return spark.createDataFrame(rows, "district_id bigint, geometry binary")
+
+
+def districts_oracle_cte() -> str:
+    """Same districts as rect bounds, generated in SQL."""
+    return (
+        "SELECT (dj * 36 + di) AS district_id, "
+        "(-180.0 + di * 10.0) AS x0, (-90.0 + dj * 10.0) AS y0, "
+        "(-180.0 + di * 10.0 + 10.0) AS x1, (-90.0 + dj * 10.0 + 10.0) AS y1 "
+        "FROM (SELECT UNNEST(RANGE(0, 36)) AS di) "
+        "CROSS JOIN (SELECT UNNEST(RANGE(0, 18)) AS dj) "
+        f"WHERE (di + dj) % {KNOCKOUT} <> 0"
+    )
+
+
+def source_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3°×2° rectangle per point, WKB geometry + bounds columns."""
+    from pyspark.sql.types import BinaryType
+    import pandas as pd
+
+    @F.pandas_udf(BinaryType())
+    def rect_udf(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _rect_wkb(a, b, c, d)
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ]
+        )
+
+    pts = points(spark, sf_dir)
+    return (
+        pts.withColumn("x0", F.col("lon") - RX)
+        .withColumn("y0", F.col("lat") - RY)
+        .withColumn("x1", F.col("lon") + RX)
+        .withColumn("y1", F.col("lat") + RY)
+        .withColumn("geometry", rect_udf("x0", "y0", "x1", "y1"))
+        .select("doc_id", "x0", "y0", "x1", "y1", "geometry", "n_chars")
+    )
+
+
+def source_rects_oracle_cte() -> str:
+    return (
+        "SELECT doc_id, lon - 1.5 AS x0, lat - 1.0 AS y0, "
+        "lon + 1.5 AS x1, lat + 1.0 AS y1, n_chars "
+        f"FROM ({points_oracle_cte()})"
+    )
+
+
+def nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5×5 unit-square layer keyed by n_nationkey (adjacency fixture)."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    rows = [(int(k), _rect_wkb(k % 5, k // 5, k % 5 + 1, k // 5 + 1))
+            for (k,) in nat.collect()]
+    return spark.createDataFrame(rows, "nation_id bigint, geometry binary")
