@@ -30,10 +30,13 @@ from pyspark.sql import functions as F
 from .geom.base import Geometry
 
 # -- point derivation (identical text in Spark SQL and DuckDB SQL) ---------
+# Each web page yields ENT_K geotagged entities (north_star: "geotagged
+# extracted entities" joined against district layers).  Coordinates are
 # double-typed end to end (…e0 literals) so Spark SQL and DuckDB do the
-# exact same IEEE-754 ops in the same order → bit-identical coordinates
-LON_SQL = "(CAST((doc_id * 48271) % 360000 AS DOUBLE) / 1000.0e0 - 180.0e0 + 0.0005e0)"
-LAT_SQL = "(CAST((doc_id * 16807) % 180000 AS DOUBLE) / 1000.0e0 - 90.0e0 + 0.0005e0)"
+# exact same IEEE-754 ops in the same order → bit-identical coordinates.
+ENT_K = 64
+LON_SQL = "(CAST((entity_id * 48271) % 360000 AS DOUBLE) / 1000.0e0 - 180.0e0 + 0.0005e0)"
+LAT_SQL = "(CAST((entity_id * 16807) % 180000 AS DOUBLE) / 1000.0e0 - 90.0e0 + 0.0005e0)"
 
 # -- district grid parameters ----------------------------------------------
 D_NX, D_NY = 36, 18  # 10° cells
@@ -50,20 +53,29 @@ DISTRICT_ID_SQL = (
 
 
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geotagged entity per document; plays the role of maup's blocks."""
+    """ENT_K geotagged entities per document (maup's "blocks" role).
+
+    The explode is a JVM-side ``sequence`` — no Python in the fan-out.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.selectExpr(
+        "doc_id", f"explode(sequence(0, {ENT_K - 1})) AS k", "n_chars"
+    ).selectExpr(
+        f"doc_id * {ENT_K} + k AS entity_id",
         "doc_id",
-        f"{LON_SQL} AS lon",
-        f"{LAT_SQL} AS lat",
+        f"{LON_SQL.replace('entity_id', f'(doc_id * {ENT_K} + k)')} AS lon",
+        f"{LAT_SQL.replace('entity_id', f'(doc_id * {ENT_K} + k)')} AS lat",
         "n_chars",
     )
 
 
 def points_oracle_cte() -> str:
     return (
-        "SELECT doc_id, "
-        f"{LON_SQL} AS lon, {LAT_SQL} AS lat, n_chars FROM documents"
+        f"SELECT doc_id * {ENT_K} + k AS entity_id, doc_id, "
+        f"{LON_SQL.replace('entity_id', f'(doc_id * {ENT_K} + k)')} AS lon, "
+        f"{LAT_SQL.replace('entity_id', f'(doc_id * {ENT_K} + k)')} AS lat, "
+        "n_chars FROM documents CROSS JOIN "
+        f"(SELECT UNNEST(RANGE(0, {ENT_K})) AS k)"
     )
 
 
@@ -99,17 +111,14 @@ def districts_oracle_cte() -> str:
 
 def source_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3°×2° rectangle per point, WKB geometry + bounds columns."""
-    from pyspark.sql.types import BinaryType
     import pandas as pd
 
-    @F.pandas_udf(BinaryType())
-    def rect_udf(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+    def _rect_batch(x0, y0, x1, y1):
         return pd.Series(
-            [
-                _rect_wkb(a, b, c, d)
-                for a, b, c, d in zip(x0, y0, x1, y1)
-            ]
+            [_rect_wkb(a, b, c, d) for a, b, c, d in zip(x0, y0, x1, y1)]
         )
+
+    rect_udf = F.pandas_udf(_rect_batch, "binary")
 
     pts = points(spark, sf_dir)
     return (
@@ -118,14 +127,14 @@ def source_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("x1", F.col("lon") + RX)
         .withColumn("y1", F.col("lat") + RY)
         .withColumn("geometry", rect_udf("x0", "y0", "x1", "y1"))
-        .select("doc_id", "x0", "y0", "x1", "y1", "geometry", "n_chars")
+        .select("entity_id", "doc_id", "x0", "y0", "x1", "y1", "geometry", "n_chars")
     )
 
 
 def source_rects_oracle_cte() -> str:
     return (
-        "SELECT doc_id, lon - 1.5 AS x0, lat - 1.0 AS y0, "
-        "lon + 1.5 AS x1, lat + 1.0 AS y1, n_chars "
+        "SELECT entity_id, doc_id, lon - 1.5e0 AS x0, lat - 1.0e0 AS y0, "
+        "lon + 1.5e0 AS x1, lat + 1.0e0 AS y1, n_chars "
         f"FROM ({points_oracle_cte()})"
     )
 

@@ -102,9 +102,20 @@ def batch_intersection_area(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.Series:
 
 
 def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
-    """Exact pairwise intersection -> (wkb, area, length, is_empty)."""
+    """Exact pairwise intersection -> (wkb, area, length, is_empty).
+
+    Axis-aligned rectangle pairs (the overwhelming case for grid-tiled
+    layers) short-circuit to closed-form min/max arithmetic — the same
+    IEEE ops an ANSI-SQL oracle (least/greatest) performs, so results
+    are bit-identical to SQL, and no arrangement is built.
+    """
+    from .arrangement import _is_rect
+    from .base import Geometry as G
+
     ca, cb = _parse_cache(a_wkbs), _parse_cache(b_wkbs)
     wkb_out, area, length, empty = [], [], [], []
+    rect_cache = {b: _is_rect(g) for b, g in ca.items()}
+    rect_cache.update({b: _is_rect(g) for b, g in cb.items()})
     for a, b in zip(a_wkbs, b_wkbs):
         if a is None or b is None:
             wkb_out.append(None)
@@ -112,6 +123,25 @@ def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
             length.append(0.0)
             empty.append(True)
             continue
+        ra, rb = rect_cache.get(a), rect_cache.get(b)
+        if ra is not None and rb is not None:
+            x0, y0 = max(ra[0], rb[0]), max(ra[1], rb[1])
+            x1, y1 = min(ra[2], rb[2]), min(ra[3], rb[3])
+            w, h = x1 - x0, y1 - y0
+            if w > 0 and h > 0:
+                wkb_out.append(G.polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]).wkb)
+                area.append(w * h)
+                length.append(2.0 * (w + h))
+                empty.append(False)
+                continue
+            if w < 0 or h < 0:
+                wkb_out.append(None)
+                area.append(0.0)
+                length.append(0.0)
+                empty.append(True)
+                continue
+            # touching rectangles: fall through to the exact kernel for
+            # the shared edge / corner geometry
         g = intersection(ca[a], cb[b])
         e = g.is_empty
         wkb_out.append(None if e else g.wkb)

@@ -48,7 +48,7 @@ def assign_points(
     y: str = "lat",
     grid: CellGrid = DEFAULT_GRID,
     knn_fallback: bool = False,
-    knn_max_ring: int = 4,
+    knn_max_ring: int = 12,
 ) -> DataFrame:
     """Point-in-polygon assignment of points to a polygon layer.
 

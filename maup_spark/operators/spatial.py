@@ -43,16 +43,26 @@ def with_cell_cover(
     def cover_udf(wkbs):
         import pandas as pd
 
-        covers = V.batch_cover_cells(wkbs, grid)
-        if dilate:
-            out = []
-            for cells in covers:
-                s = set()
-                for c in cells:
-                    s.update(grid.ring_cells(c, dilate).tolist())
-                out.append(sorted(s))
-            return pd.Series(out)
-        return covers
+        if not dilate:
+            return V.batch_cover_cells(wkbs, grid)
+        # ring-dilated cover == cover of the bbox expanded by `dilate` cells
+        from ..geom.base import Geometry
+
+        out = []
+        for b in wkbs:
+            if b is None:
+                out.append([])
+                continue
+            xmin, ymin, xmax, ymax = Geometry.from_wkb(b).bounds
+            out.append(
+                grid.cover_bbox(
+                    xmin - dilate * grid.wx,
+                    ymin - dilate * grid.wy,
+                    xmax + dilate * grid.wx,
+                    ymax + dilate * grid.wy,
+                ).tolist()
+            )
+        return pd.Series(out)
 
     return df.withColumn("cell_id", F.explode(cover_udf(F.col(geom_col))))
 

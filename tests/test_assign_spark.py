@@ -77,17 +77,17 @@ def test_assign_to_max_tiebreak(spark):
 def test_assign_points_districts(spark, sf_dir, knn):
     pts = points(spark, sf_dir)
     dst = districts(spark)
-    got = assign_points(pts, dst, knn_fallback=knn)
+    got = assign_points(pts, dst, point_id="entity_id", knn_fallback=knn)
     n_points = pts.count()
     assert got.count() == n_points
     rows = got.collect()
     # arithmetic truth: district = floor-grid cell unless knocked out
     import math
 
-    pts_rows = {r["doc_id"]: (r["lon"], r["lat"]) for r in pts.collect()}
+    pts_rows = {r["entity_id"]: (r["lon"], r["lat"]) for r in pts.collect()}
     n_null = 0
     for r in rows:
-        lon, lat = pts_rows[r["doc_id"]]
+        lon, lat = pts_rows[r["entity_id"]]
         di = math.floor((lon + 180) / 10)
         dj = math.floor((lat + 90) / 10)
         expected = dj * 36 + di if (di + dj) % 7 != 0 else None
