@@ -57,8 +57,12 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The explode is a JVM-side ``sequence`` — no Python in the fan-out.
     """
+    # the documents file is a single small parquet -> one scan partition;
+    # spread it across the cluster BEFORE the 64× entity fan-out so every
+    # downstream map stage (rect build, cover explode, refine) parallelizes
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.selectExpr(
+    n_part = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_part).selectExpr(
         "doc_id", f"explode(sequence(0, {ENT_K - 1})) AS k", "n_chars"
     ).selectExpr(
         f"doc_id * {ENT_K} + k AS entity_id",
@@ -92,9 +96,20 @@ def districts(spark: SparkSession) -> DataFrame:
                 continue
             x0, y0 = -180.0 + di * D_W, -90.0 + dj * D_H
             rows.append(
-                (dj * D_NX + di, _rect_wkb(x0, y0, x0 + D_W, y0 + D_H))
+                (
+                    dj * D_NX + di,
+                    _rect_wkb(x0, y0, x0 + D_W, y0 + D_H),
+                    x0,
+                    y0,
+                    x0 + D_W,
+                    y0 + D_H,
+                )
             )
-    return spark.createDataFrame(rows, "district_id bigint, geometry binary")
+    return spark.createDataFrame(
+        rows,
+        "district_id bigint, geometry binary, "
+        "dxmin double, dymin double, dxmax double, dymax double",
+    )
 
 
 def districts_oracle_cte() -> str:
@@ -111,14 +126,14 @@ def districts_oracle_cte() -> str:
 
 def source_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3°×2° rectangle per point, WKB geometry + bounds columns."""
-    import pandas as pd
+    from .geom.vector import batch_rect_wkb
 
     def _rect_batch(x0, y0, x1, y1):
-        return pd.Series(
-            [_rect_wkb(a, b, c, d) for a, b, c, d in zip(x0, y0, x1, y1)]
+        return batch_rect_wkb(
+            x0.to_numpy(), y0.to_numpy(), x1.to_numpy(), y1.to_numpy()
         )
 
-    rect_udf = F.pandas_udf(_rect_batch, "binary")
+    rect_udf = F.pandas_udf(_rect_batch, "binary").asNondeterministic()
 
     pts = points(spark, sf_dir)
     return (

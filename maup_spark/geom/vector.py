@@ -26,6 +26,34 @@ def _parse_cache(wkbs: pd.Series) -> dict:
     return cache
 
 
+_RECT_WKB_LEN = 1 + 4 + 4 + 4 + 5 * 16  # LE polygon, 1 ring, 5 points
+
+
+def fast_rect_bounds(b) -> tuple | None:
+    """(x0, y0, x1, y1) if ``b`` is a single-ring 5-point axis-aligned
+    little-endian WKB polygon, else None.  ~10× cheaper than a full
+    parse; lets rect-tiled layers (grid districts, bbox pieces) skip
+    Geometry object construction entirely."""
+    if (
+        b is None
+        or len(b) != _RECT_WKB_LEN
+        or b[:13] != b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+    ):
+        return None
+    c = np.frombuffer(b, "<f8", 10, offset=13)
+    xs, ys = c[0::2], c[1::2]
+    if xs[0] != xs[4] or ys[0] != ys[4]:
+        return None
+    for i in range(4):
+        if xs[i + 1] != xs[i] and ys[i + 1] != ys[i]:
+            return None
+    x0, x1 = xs.min(), xs.max()
+    y0, y1 = ys.min(), ys.max()
+    if np.unique(xs).size != 2 or np.unique(ys).size != 2:
+        return None
+    return (x0, y0, x1, y1)
+
+
 def batch_area(wkbs: pd.Series) -> pd.Series:
     cache = _parse_cache(wkbs)
     return pd.Series([cache[b].area if b is not None else np.nan for b in wkbs])
@@ -37,11 +65,20 @@ def batch_length(wkbs: pd.Series) -> pd.Series:
 
 
 def batch_bounds(wkbs: pd.Series) -> pd.DataFrame:
-    cache = _parse_cache(wkbs)
-    rows = [
-        cache[b].bounds if b is not None else (np.nan,) * 4 for b in wkbs
-    ]
-    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+    arr = batch_rect_bounds_arr(wkbs)
+    slow = np.nonzero(np.isnan(arr[:, 0]))[0]
+    if len(slow):
+        cache: dict = {}
+        get = wkbs.iloc if hasattr(wkbs, "iloc") else wkbs
+        for i in slow:
+            b = get[i]
+            if b is None:
+                continue
+            r = cache.get(b)
+            if r is None:
+                r = cache[b] = Geometry.from_wkb(b).bounds
+            arr[i] = r
+    return pd.DataFrame(arr, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
 def batch_cover_cells(wkbs: pd.Series, grid) -> pd.Series:
@@ -78,27 +115,126 @@ def batch_points_in_polygon(
     return pd.Series(result)
 
 
-def batch_covers(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.Series:
-    """a covers b, per row."""
-    ca, cb = _parse_cache(a_wkbs), _parse_cache(b_wkbs)
-    return pd.Series(
-        [
-            ca[a].covers(cb[b]) if a is not None and b is not None else False
-            for a, b in zip(a_wkbs, b_wkbs)
-        ]
+def _rect_memo(wkbs: pd.Series) -> dict:
+    memo: dict[bytes, tuple | None] = {}
+    for b in wkbs:
+        if b is not None and b not in memo:
+            memo[b] = fast_rect_bounds(b)
+    return memo
+
+
+_RECT_HDR = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+_RECT_HDR_ARR = np.frombuffer(_RECT_HDR, dtype=np.uint8)
+
+
+def batch_rect_bounds_arr(wkbs) -> np.ndarray:
+    """(N, 4) [x0 y0 x1 y1] with NaN rows for non-rect geometries.
+
+    All candidate rows are parsed in ONE numpy view over the
+    concatenated 93-byte buffers — no per-row object churn.  This is the
+    whole-batch analog of ``fast_rect_bounds``.
+    """
+    n = len(wkbs)
+    out = np.full((n, 4), np.nan)
+    idx = [i for i, b in enumerate(wkbs) if b is not None and len(b) == _RECT_WKB_LEN]
+    if not idx:
+        return out
+    buf = b"".join(wkbs.iloc[i] if hasattr(wkbs, "iloc") else wkbs[i] for i in idx)
+    raw = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), _RECT_WKB_LEN)
+    hdr_ok = (raw[:, :13] == _RECT_HDR_ARR).all(axis=1)
+    coords = raw[:, 13:].copy().view("<f8").reshape(len(idx), 10)
+    xs, ys = coords[:, 0::2], coords[:, 1::2]
+    closed = (xs[:, 0] == xs[:, 4]) & (ys[:, 0] == ys[:, 4])
+    axis = np.ones(len(idx), dtype=bool)
+    for i in range(4):
+        axis &= (xs[:, i + 1] == xs[:, i]) | (ys[:, i + 1] == ys[:, i])
+    x0, x1 = xs.min(axis=1), xs.max(axis=1)
+    y0, y1 = ys.min(axis=1), ys.max(axis=1)
+    on_corners = (
+        ((xs == x0[:, None]) | (xs == x1[:, None])).all(axis=1)
+        & ((ys == y0[:, None]) | (ys == y1[:, None])).all(axis=1)
+        & (x0 < x1)
+        & (y0 < y1)
     )
+    ok = hdr_ok & closed & axis & on_corners
+    rows = np.asarray(idx)[ok]
+    out[rows, 0] = x0[ok]
+    out[rows, 1] = y0[ok]
+    out[rows, 2] = x1[ok]
+    out[rows, 3] = y1[ok]
+    return out
+
+
+def batch_rect_wkb(x0, y0, x1, y1) -> pd.Series:
+    """Bulk-build axis-aligned rect WKBs: one (N, 93) uint8 buffer."""
+    n = len(x0)
+    raw = np.empty((n, _RECT_WKB_LEN), dtype=np.uint8)
+    raw[:, :13] = _RECT_HDR_ARR
+    coords = np.empty((n, 10))
+    coords[:, 0], coords[:, 1] = x0, y0
+    coords[:, 2], coords[:, 3] = x1, y0
+    coords[:, 4], coords[:, 5] = x1, y1
+    coords[:, 6], coords[:, 7] = x0, y1
+    coords[:, 8], coords[:, 9] = x0, y0
+    raw[:, 13:] = coords.astype("<f8").view(np.uint8).reshape(n, 80)
+    flat = raw.tobytes()
+    L = _RECT_WKB_LEN
+    return pd.Series([flat[i * L : (i + 1) * L] for i in range(n)])
+
+
+def batch_covers(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.Series:
+    """a covers b, per row.  Rect pairs reduce to bbox containment."""
+    ra = batch_rect_bounds_arr(a_wkbs)
+    rb = batch_rect_bounds_arr(b_wkbs)
+    both = ~np.isnan(ra[:, 0]) & ~np.isnan(rb[:, 0])
+    out = np.zeros(len(a_wkbs), dtype=bool)
+    out[both] = (
+        (ra[both, 0] <= rb[both, 0])
+        & (ra[both, 1] <= rb[both, 1])
+        & (ra[both, 2] >= rb[both, 2])
+        & (ra[both, 3] >= rb[both, 3])
+    )
+    ca: dict = {}
+    cb: dict = {}
+    for i in np.nonzero(~both)[0]:
+        a = a_wkbs.iloc[i]
+        b = b_wkbs.iloc[i]
+        if a is None or b is None:
+            continue
+        ga = ca.get(a)
+        if ga is None:
+            ga = ca[a] = Geometry.from_wkb(a)
+        gb = cb.get(b)
+        if gb is None:
+            gb = cb[b] = Geometry.from_wkb(b)
+        out[i] = ga.covers(gb)
+    return pd.Series(out)
 
 
 def batch_intersection_area(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.Series:
-    ca, cb = _parse_cache(a_wkbs), _parse_cache(b_wkbs)
-    return pd.Series(
-        [
-            intersection_area(ca[a], cb[b])
-            if a is not None and b is not None
-            else 0.0
-        for a, b in zip(a_wkbs, b_wkbs)
-        ]
-    )
+    ra = batch_rect_bounds_arr(a_wkbs)
+    rb = batch_rect_bounds_arr(b_wkbs)
+    both = ~np.isnan(ra[:, 0]) & ~np.isnan(rb[:, 0])
+    w = np.minimum(ra[:, 2], rb[:, 2]) - np.maximum(ra[:, 0], rb[:, 0])
+    h = np.minimum(ra[:, 3], rb[:, 3]) - np.maximum(ra[:, 1], rb[:, 1])
+    out = np.zeros(len(a_wkbs), dtype=np.float64)
+    pos = both & (w > 0) & (h > 0)
+    out[pos] = w[pos] * h[pos]
+    ca: dict = {}
+    cb: dict = {}
+    for i in np.nonzero(~both)[0]:
+        a = a_wkbs.iloc[i]
+        b = b_wkbs.iloc[i]
+        if a is None or b is None:
+            continue
+        ga = ca.get(a)
+        if ga is None:
+            ga = ca[a] = Geometry.from_wkb(a)
+        gb = cb.get(b)
+        if gb is None:
+            gb = cb[b] = Geometry.from_wkb(b)
+        out[i] = intersection_area(ga, gb)
+    return pd.Series(out)
 
 
 def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
@@ -109,45 +245,54 @@ def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
     IEEE ops an ANSI-SQL oracle (least/greatest) performs, so results
     are bit-identical to SQL, and no arrangement is built.
     """
-    from .arrangement import _is_rect
-    from .base import Geometry as G
+    n = len(a_wkbs)
+    ra = batch_rect_bounds_arr(a_wkbs)
+    rb = batch_rect_bounds_arr(b_wkbs)
+    both = ~np.isnan(ra[:, 0]) & ~np.isnan(rb[:, 0])
+    x0 = np.maximum(ra[:, 0], rb[:, 0])
+    y0 = np.maximum(ra[:, 1], rb[:, 1])
+    x1 = np.minimum(ra[:, 2], rb[:, 2])
+    y1 = np.minimum(ra[:, 3], rb[:, 3])
+    w, h = x1 - x0, y1 - y0
+    pos = both & (w > 0) & (h > 0)
+    disjoint = both & ((w < 0) | (h < 0))
+    # touching rects (w==0 or h==0, >=0) fall to the exact kernel for the
+    # shared edge / corner geometry
+    slow = ~both | (both & ~pos & ~disjoint)
 
-    ca, cb = _parse_cache(a_wkbs), _parse_cache(b_wkbs)
-    wkb_out, area, length, empty = [], [], [], []
-    rect_cache = {b: _is_rect(g) for b, g in ca.items()}
-    rect_cache.update({b: _is_rect(g) for b, g in cb.items()})
-    for a, b in zip(a_wkbs, b_wkbs):
+    area = np.zeros(n)
+    length = np.zeros(n)
+    empty = np.ones(n, dtype=bool)
+    wkb_out: list = [None] * n
+
+    area[pos] = w[pos] * h[pos]
+    length[pos] = 2.0 * (w[pos] + h[pos])
+    empty[pos] = False
+    pos_idx = np.nonzero(pos)[0]
+    if len(pos_idx):
+        rect_wkbs = batch_rect_wkb(x0[pos_idx], y0[pos_idx], x1[pos_idx], y1[pos_idx])
+        for k, i in enumerate(pos_idx):
+            wkb_out[i] = rect_wkbs.iloc[k]
+
+    ca: dict = {}
+    cb: dict = {}
+    for i in np.nonzero(slow)[0]:
+        a = a_wkbs.iloc[i]
+        b = b_wkbs.iloc[i]
         if a is None or b is None:
-            wkb_out.append(None)
-            area.append(0.0)
-            length.append(0.0)
-            empty.append(True)
             continue
-        ra, rb = rect_cache.get(a), rect_cache.get(b)
-        if ra is not None and rb is not None:
-            x0, y0 = max(ra[0], rb[0]), max(ra[1], rb[1])
-            x1, y1 = min(ra[2], rb[2]), min(ra[3], rb[3])
-            w, h = x1 - x0, y1 - y0
-            if w > 0 and h > 0:
-                wkb_out.append(G.polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]).wkb)
-                area.append(w * h)
-                length.append(2.0 * (w + h))
-                empty.append(False)
-                continue
-            if w < 0 or h < 0:
-                wkb_out.append(None)
-                area.append(0.0)
-                length.append(0.0)
-                empty.append(True)
-                continue
-            # touching rectangles: fall through to the exact kernel for
-            # the shared edge / corner geometry
-        g = intersection(ca[a], cb[b])
-        e = g.is_empty
-        wkb_out.append(None if e else g.wkb)
-        area.append(0.0 if e else g.area)
-        length.append(0.0 if e else g.length)
-        empty.append(e)
+        ga = ca.get(a)
+        if ga is None:
+            ga = ca[a] = Geometry.from_wkb(a)
+        gb = cb.get(b)
+        if gb is None:
+            gb = cb[b] = Geometry.from_wkb(b)
+        g = intersection(ga, gb)
+        if not g.is_empty:
+            wkb_out[i] = g.wkb
+            area[i] = g.area
+            length[i] = g.length
+            empty[i] = False
     return pd.DataFrame(
         {"wkb": wkb_out, "area": area, "length": length, "is_empty": empty}
     )

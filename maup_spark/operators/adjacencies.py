@@ -1,0 +1,101 @@
+"""``adjacencies`` — pairwise boundary relationships of one layer.
+
+Reference semantics (/root/reference/maup/adjacencies.py:18-97): all
+nonempty pairwise intersections with ``i < j``; ``rook`` keeps only
+pairs sharing positive boundary length, ``queen`` keeps corner touches
+too; positive-area pairs indicate overlaps (a data-quality signal),
+ids missing from every pair are islands.
+
+Spark plan: a cell-join of the layer with itself (broadcast when the
+layer is small), ``i < j`` pushed as a codegen'd filter *before* the
+exact pairwise-intersection UDF, reference-point dedup, no shuffle of
+geometry payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.cells import CellGrid
+from .intersections import _intersection_udf
+from .spatial import DEFAULT_GRID, with_cell_cover, _cell_of
+
+
+def adjacencies(
+    geoms: DataFrame,
+    id_col: str = "id",
+    geom_col: str = "geometry",
+    adjacency_type: str = "rook",
+    grid: CellGrid = DEFAULT_GRID,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Returns ``DataFrame[id_i, id_j, geometry, area, length]``.
+
+    ``rook`` filters to ``length > 0``
+    (/root/reference/maup/adjacencies.py:68-69); ``queen`` keeps every
+    nonempty intersection including corner points.
+    """
+    if adjacency_type not in ("rook", "queen"):
+        raise ValueError('adjacency_type must be "rook" or "queen"')
+
+    left = with_cell_cover(
+        geoms.select(
+            F.col(id_col).alias("id_i"), F.col(geom_col).alias("__gi")
+        ),
+        grid,
+        geom_col="__gi",
+        bounds_prefix="__i_",
+    )
+    right = with_cell_cover(
+        geoms.select(
+            F.col(id_col).alias("id_j"), F.col(geom_col).alias("__gj")
+        ),
+        grid,
+        geom_col="__gj",
+        bounds_prefix="__j_",
+    )
+    if broadcast:
+        right = F.broadcast(right)
+    joined = left.join(right, "cell_id").filter(F.col("id_i") < F.col("id_j"))
+    ref_cell = _cell_of(
+        grid,
+        F.greatest("__i_xmin", "__j_xmin"),
+        F.greatest("__i_ymin", "__j_ymin"),
+    )
+    joined = joined.filter(ref_cell == F.col("cell_id"))
+
+    out = (
+        joined.withColumn("__ix", _intersection_udf(F.col("__gi"), F.col("__gj")))
+        .filter(~F.col("__ix.is_empty"))
+        .select(
+            "id_i",
+            "id_j",
+            F.col("__ix.wkb").alias("geometry"),
+            F.col("__ix.area").alias("area"),
+            F.col("__ix.length").alias("length"),
+        )
+    )
+    if adjacency_type == "rook":
+        out = out.filter(F.col("length") > 0)
+    return out
+
+
+def islands(geoms: DataFrame, adjs: DataFrame, id_col: str = "id") -> DataFrame:
+    """Ids that appear in no adjacency pair
+    (/root/reference/maup/adjacencies.py:81-89)."""
+    touched = (
+        adjs.select(F.col("id_i").alias(id_col))
+        .unionByName(adjs.select(F.col("id_j").alias(id_col)))
+        .distinct()
+    )
+    return geoms.select(id_col).distinct().join(touched, id_col, "left_anti")
+
+
+def count_overlaps(geoms: DataFrame, id_col: str = "id", **kw) -> int:
+    """Positive-area adjacency count (/root/reference/maup/repair.py:368-375)."""
+    return (
+        adjacencies(geoms, id_col=id_col, adjacency_type="queen", **kw)
+        .filter(F.col("area") > 0)
+        .count()
+    )

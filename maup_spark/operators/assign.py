@@ -15,10 +15,12 @@ Semantics mirror /root/reference/maup/assign.py:13-54 exactly:
 
 Physical plan: exploded-cell broadcast hash join → vectorized exact
 refine (PIP / covers / intersection area) → window ``row_number`` top-1.
-The only shuffles are the window on ``source`` and the final union; the
-candidate join itself is broadcast (polygon layers are the small side).
-A kNN fallback (cell-ring-dilated join + exact point-to-boundary
-distance) is available for points that land outside every target.
+The only shuffles are the unmatched anti-join and the top-1 window; the
+candidate join is broadcast (polygon layers are the small side).  A kNN
+fallback for points outside every target joins the unmatched minority
+against targets on a *coarsened* cell grid (one ring at 2^coarsen cell
+granularity) and picks the winner by exact vectorized point→boundary
+distance.
 """
 
 from __future__ import annotations
@@ -27,7 +29,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from ..geom import vector as V
 from ..index.cells import CellGrid
 from .spatial import (
     DEFAULT_GRID,
@@ -42,13 +43,14 @@ from .spatial import (
 def assign_points(
     points: DataFrame,
     targets: DataFrame,
-    point_id: str = "doc_id",
+    point_id: str = "entity_id",
     target_id: str = "district_id",
     x: str = "lon",
     y: str = "lat",
     grid: CellGrid = DEFAULT_GRID,
+    target_bounds: tuple | None = None,
     knn_fallback: bool = False,
-    knn_max_ring: int = 12,
+    knn_coarsen: int = 3,
 ) -> DataFrame:
     """Point-in-polygon assignment of points to a polygon layer.
 
@@ -62,10 +64,13 @@ def assign_points(
     )
     tgt = with_cell_cover(
         targets.select(
-            F.col(target_id).alias("__tid"), F.col("geometry").alias("__tgeom")
+            F.col(target_id).alias("__tid"),
+            F.col("geometry").alias("__tgeom"),
+            *(target_bounds or ()),
         ),
         grid,
         geom_col="__tgeom",
+        bounds_cols=target_bounds,
     )
     cand = pts.join(F.broadcast(tgt), "cell_id")
     hits = (
@@ -86,9 +91,14 @@ def assign_points(
     out = points.select(point_id, x, y).join(uniq, point_id, "left")
 
     if knn_fallback:
+        # the phase-1 result is referenced three times below (unmatched
+        # filter, left join, coalesce) — cache it instead of recomputing
+        # the PIP join per reference
+        out = out.persist()
         unmatched = out.filter(F.col(target_id).isNull()).select(point_id, x, y)
         near = _knn_points(
-            unmatched, targets, point_id, target_id, x, y, grid, knn_max_ring
+            unmatched, targets, point_id, target_id, x, y, grid,
+            target_bounds, knn_coarsen,
         ).withColumnRenamed(target_id, "__knn_tid")
         out = (
             out.join(near, point_id, "left")
@@ -112,11 +122,18 @@ def _knn_points(
     x: str,
     y: str,
     grid: CellGrid,
-    max_ring: int,
+    target_bounds: tuple | None,
+    coarsen: int,
 ) -> DataFrame:
-    """Nearest-target fallback: join unmatched points against targets
-    whose cell cover, dilated by ``max_ring`` rings, reaches the point's
-    cell; exact point→boundary distance picks the winner."""
+    """Nearest-target fallback for the unmatched minority.
+
+    Join on a grid coarsened by ``coarsen`` levels with a ±1-cell ring:
+    each point explodes to ≤9 coarse cells (JVM ``sequence``), targets
+    keep their plain coarse cover — no dilation blow-up on either side.
+    Exact point→boundary distance (vectorized per distinct target) picks
+    the winner; search radius is one coarse cell (2^coarsen fine cells).
+    """
+    coarse = CellGrid(grid.x0, grid.y0, grid.x1, grid.y1, max(0, grid.res - coarsen))
 
     @F.pandas_udf(DoubleType())
     def dist_udf(xs, ys, wkbs):
@@ -124,35 +141,57 @@ def _knn_points(
         import pandas as pd
 
         from ..geom.base import Geometry
-        from ..geom.arrangement import _point_seg_dist  # noqa: internal reuse
 
-        cache = {}
-        out = np.empty(len(xs))
-        for i, (px, py, b) in enumerate(zip(xs, ys, wkbs)):
-            segs = cache.get(b)
-            if segs is None:
-                g = Geometry.from_wkb(b)
-                arrs = []
-                for rings in g.polygons():
-                    for r in rings:
-                        arrs.append(
-                            np.column_stack([r[:-1], r[1:]])
-                        )
-                segs = (
-                    np.vstack(arrs) if arrs else np.empty((0, 4))
-                )
-                cache[b] = segs
-            out[i] = _point_seg_dist(px, py, segs).min() if len(segs) else np.inf
+        px = xs.to_numpy(dtype=np.float64)
+        py = ys.to_numpy(dtype=np.float64)
+        out = np.full(len(px), np.inf)
+        df = pd.DataFrame({"i": np.arange(len(px))})
+        for b, grp in df.groupby(wkbs.to_numpy(), sort=False):
+            g = Geometry.from_wkb(b)
+            segs = [
+                np.column_stack([r[:-1], r[1:]])
+                for rings in g.polygons()
+                for r in rings
+            ]
+            if not segs:
+                continue
+            sg = np.vstack(segs)
+            idx = grp["i"].to_numpy()
+            x1, y1, x2, y2 = sg[:, 0], sg[:, 1], sg[:, 2], sg[:, 3]
+            dx, dy = x2 - x1, y2 - y1
+            ll = np.where(dx * dx + dy * dy == 0, 1.0, dx * dx + dy * dy)
+            t = ((px[idx, None] - x1) * dx + (py[idx, None] - y1) * dy) / ll
+            t = np.clip(t, 0.0, 1.0)
+            d = np.hypot(x1 + t * dx - px[idx, None], y1 + t * dy - py[idx, None])
+            out[idx] = d.min(axis=1)
         return pd.Series(out)
 
-    pts = unmatched.withColumn("cell_id", point_cell_col(grid, x, y))
+    n = F.lit(coarse.n)
+    ix = F.floor((F.col(x) - F.lit(coarse.x0)) / F.lit(coarse.wx)).cast("long")
+    iy = F.floor((F.col(y) - F.lit(coarse.y0)) / F.lit(coarse.wy)).cast("long")
+    pts = (
+        unmatched.withColumn("__ix", ix)
+        .withColumn("__iy", iy)
+        .withColumn("__jx", F.explode(F.sequence(F.col("__ix") - 1, F.col("__ix") + 1)))
+        .withColumn("__jy", F.explode(F.sequence(F.col("__iy") - 1, F.col("__iy") + 1)))
+        .filter(
+            (F.col("__jx") >= 0)
+            & (F.col("__jx") < n)
+            & (F.col("__jy") >= 0)
+            & (F.col("__jy") < n)
+        )
+        .withColumn("cell_id", F.col("__jy") * n + F.col("__jx"))
+        .select(point_id, x, y, "cell_id")
+    )
     tgt = with_cell_cover(
         targets.select(
-            F.col(target_id).alias("__tid"), F.col("geometry").alias("__tgeom")
+            F.col(target_id).alias("__tid"),
+            F.col("geometry").alias("__tgeom"),
+            *(target_bounds or ()),
         ),
-        grid,
+        coarse,
         geom_col="__tgeom",
-        dilate=max_ring,
+        bounds_cols=target_bounds,
     )
     cand = pts.join(F.broadcast(tgt), "cell_id").dropDuplicates([point_id, "__tid"])
     w = Window.partitionBy(point_id).orderBy("__dist", "__tid")
@@ -170,6 +209,8 @@ def assign(
     source_id: str = "source_id",
     target_id: str = "target_id",
     grid: CellGrid = DEFAULT_GRID,
+    source_bounds: tuple | None = None,
+    target_bounds: tuple | None = None,
 ) -> DataFrame:
     """Polygon→polygon assignment (reference semantics above).
 
@@ -177,13 +218,18 @@ def assign(
     source; NULL target = unassigned.
     """
     src = sources.select(
-        F.col(source_id).alias("__sid"), F.col("geometry").alias("__sgeom")
+        F.col(source_id).alias("__sid"),
+        F.col("geometry").alias("__sgeom"),
+        *(source_bounds or ()),
     )
     tgt = targets.select(
-        F.col(target_id).alias("__tid"), F.col("geometry").alias("__tgeom")
+        F.col(target_id).alias("__tid"),
+        F.col("geometry").alias("__tgeom"),
+        *(target_bounds or ()),
     )
     cand = candidate_pairs(
-        src, tgt, grid, "__sgeom", "__tgeom", dedup_keys=["__sid", "__tid"]
+        src, tgt, grid, "__sgeom", "__tgeom",
+        source_bounds=source_bounds, target_bounds=target_bounds,
     )
     covered = (
         cand.filter(covers_udf(F.col("__tgeom"), F.col("__sgeom")))
@@ -195,11 +241,17 @@ def assign(
 
     unassigned = src.join(covered.select("__sid"), "__sid", "left_anti")
     by_area = assign_by_area(
-        unassigned.select(F.col("__sid").alias(source_id), F.col("__sgeom").alias("geometry")),
-        tgt.select(F.col("__tid").alias(target_id), F.col("__tgeom").alias("geometry")),
+        unassigned.selectExpr(
+            f"__sid AS {source_id}", "__sgeom AS geometry", *(source_bounds or ())
+        ),
+        tgt.selectExpr(
+            f"__tid AS {target_id}", "__tgeom AS geometry", *(target_bounds or ())
+        ),
         source_id,
         target_id,
         grid,
+        source_bounds=source_bounds,
+        target_bounds=target_bounds,
     )
 
     phase1 = covered.select(
@@ -222,23 +274,30 @@ def assign_by_area(
     source_id: str = "source_id",
     target_id: str = "target_id",
     grid: CellGrid = DEFAULT_GRID,
+    source_bounds: tuple | None = None,
+    target_bounds: tuple | None = None,
 ) -> DataFrame:
     """argmax_t area(source ∩ target) over strictly-positive-area pairs
     (/root/reference/maup/assign.py:45-46)."""
-    from ..geom import vector as V  # noqa: F401
+    from ..geom import vector as V
 
     @F.pandas_udf(DoubleType())
     def ia_udf(a, b):
         return V.batch_intersection_area(a, b)
 
     src = sources.select(
-        F.col(source_id).alias("__sid"), F.col("geometry").alias("__sgeom")
+        F.col(source_id).alias("__sid"),
+        F.col("geometry").alias("__sgeom"),
+        *(source_bounds or ()),
     )
     tgt = targets.select(
-        F.col(target_id).alias("__tid"), F.col("geometry").alias("__tgeom")
+        F.col(target_id).alias("__tid"),
+        F.col("geometry").alias("__tgeom"),
+        *(target_bounds or ()),
     )
     cand = candidate_pairs(
-        src, tgt, grid, "__sgeom", "__tgeom", dedup_keys=["__sid", "__tid"]
+        src, tgt, grid, "__sgeom", "__tgeom",
+        source_bounds=source_bounds, target_bounds=target_bounds,
     )
     pairs = cand.withColumn("__area", ia_udf(F.col("__sgeom"), F.col("__tgeom")))
     pairs = pairs.filter(F.col("__area") > 0)
@@ -263,9 +322,7 @@ def assign_to_max(
     the reference's groupby-idxmax (/root/reference/maup/assign.py:49-54).
     Tie-break: smallest target id (pandas idxmax first-occurrence over
     (source,target)-sorted input)."""
-    w = Window.partitionBy(source_id).orderBy(
-        F.desc(weight), F.asc(target_id)
-    )
+    w = Window.partitionBy(source_id).orderBy(F.desc(weight), F.asc(target_id))
     return (
         weights.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

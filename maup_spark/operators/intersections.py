@@ -41,9 +41,13 @@ _IX_SCHEMA = StructType(
 )
 
 
-@F.pandas_udf(_IX_SCHEMA)
-def _intersection_udf(a, b):
+def _intersection_batch(a, b):
     return V.batch_intersection(a, b)
+
+
+# asNondeterministic stops CollapseProject from cloning the Python call
+# once per struct-field reference (verified via .explain)
+_intersection_udf = F.pandas_udf(_intersection_batch, _IX_SCHEMA).asNondeterministic()
 
 
 def intersections(
@@ -54,6 +58,8 @@ def intersections(
     area_cutoff: float | None = None,
     grid: CellGrid = DEFAULT_GRID,
     broadcast_targets: bool = True,
+    source_bounds: tuple | None = None,
+    target_bounds: tuple | None = None,
 ) -> DataFrame:
     """All nonempty pairwise intersections.
 
@@ -65,10 +71,14 @@ def intersections(
     /root/reference/maup/intersections.py:48-51.
     """
     src = sources.select(
-        F.col(source_id).alias("__sid"), F.col("geometry").alias("__sgeom")
+        F.col(source_id).alias("__sid"),
+        F.col("geometry").alias("__sgeom"),
+        *(source_bounds or ()),
     )
     tgt = targets.select(
-        F.col(target_id).alias("__tid"), F.col("geometry").alias("__tgeom")
+        F.col(target_id).alias("__tid"),
+        F.col("geometry").alias("__tgeom"),
+        *(target_bounds or ()),
     )
     cand = candidate_pairs(
         src,
@@ -77,7 +87,8 @@ def intersections(
         "__sgeom",
         "__tgeom",
         broadcast_targets=broadcast_targets,
-        dedup_keys=["__sid", "__tid"],
+        source_bounds=source_bounds,
+        target_bounds=target_bounds,
     )
     out = (
         cand.withColumn("__ix", _intersection_udf(F.col("__sgeom"), F.col("__tgeom")))

@@ -51,7 +51,10 @@ pieces AS (
 def q_assign_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship PIP assignment: documents' geotagged points → districts."""
     return assign_points(
-        D.points(spark, sf_dir), D.districts(spark), point_id="entity_id"
+        D.points(spark, sf_dir),
+        D.districts(spark),
+        point_id="entity_id",
+        target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
     ).select("entity_id", "district_id")
 
 
@@ -60,6 +63,7 @@ def q_assign_points_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.points(spark, sf_dir),
         D.districts(spark),
         point_id="entity_id",
+        target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
         knn_fallback=True,
     ).select("entity_id", "district_id")
 
@@ -74,10 +78,14 @@ def q_point_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_intersections_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon×polygon intersections (source rects × district grid)."""
     ix = intersections(
-        D.source_rects(spark, sf_dir).select(F.col("entity_id"), "geometry"),
+        D.source_rects(spark, sf_dir).select(
+            "entity_id", "geometry", "x0", "y0", "x1", "y1"
+        ),
         D.districts(spark),
         source_id="entity_id",
         target_id="district_id",
+        source_bounds=("x0", "y0", "x1", "y1"),
+        target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
     )
     return ix.select("entity_id", "district_id", "area")
 
@@ -89,10 +97,12 @@ def q_prorate_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not)."""
     rects = D.source_rects(spark, sf_dir)
     pieces = intersections(
-        rects.select("entity_id", "geometry"),
+        rects.select("entity_id", "geometry", "x0", "y0", "x1", "y1"),
         D.districts(spark),
         source_id="entity_id",
         target_id="district_id",
+        source_bounds=("x0", "y0", "x1", "y1"),
+        target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
     )
     rect_area = float((2 * D.RX) * (2 * D.RY))
     weighted = pieces.withColumn("weight", F.col("area") / F.lit(rect_area))
