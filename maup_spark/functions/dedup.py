@@ -1,0 +1,145 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB: every stage is a hash aggregation or equi-join on a
+*derived key* (fingerprint, band key, signature) — never an all-pairs
+comparison.  The only quadratic work is within LSH buckets, whose size
+is bounded by construction.  Hashes are md5 hex strings (lexicographic
+MIN is engine-portable); shingles come from a window ``lead`` over
+``posexplode`` so the tokenizer is pure JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # bands of 2 minhashes each
+SHINGLE = 3  # word-level shingle width
+SIMHASH_BITS = 16  # one bit per md5 nibble (top bit of each)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate clusters by content hash: one row per duplicated
+    fingerprint with the canonical (minimum) doc id and the member count.
+    """
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE) -> DataFrame:
+    """Word-level k-shingles via posexplode + lead window."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = F.col("w")
+    for i in range(1, k):
+        sh = F.concat(sh, F.lit(" "), F.lead("w", i).over(win))
+    return toks.select("doc_id", sh.alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = N_MINHASH
+) -> DataFrame:
+    """Per-doc MinHash signature: lexicographic MIN of md5(shingle#i)
+    per permutation i — one hash aggregation."""
+    sh = shingles(docs, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"m{i}")
+        for i in range(n)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band
+    (band = concatenation of 2 consecutive minhashes).  Equi-join on
+    (band, key) — the scalable shape; bucket sizes bound the quadratic
+    work."""
+    mh = minhash_signatures(docs, text_col)
+    bands = None
+    for b in range(N_BANDS):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    c = bands.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact shingle-set Jaccard for each LSH candidate pair."""
+    cand = minhash_lsh_pairs(docs, text_col)
+    ssets = shingles(docs, text_col).distinct()
+    sizes = ssets.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            ssets.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            ssets.select(F.col("doc_id").alias("__d2"), F.col("shingle").alias("__s2")),
+            (F.col("doc_b") == F.col("__d2")) & (F.col("shingle") == F.col("__s2")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash over unigram tokens: bit i = sign of Σ_tokens ±1, where
+    the ±1 is the top bit of md5-nibble i.  Emitted as a bitstring so
+    the representation is engine-portable (no 64-bit int ops)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(F.col("h"), i + 1, 1).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: the pages table (input_hint schema) and
+opaque binary media columns with typed metadata.
+
+The pages table carries (url, warc_ts, html binary, text, lang) per the
+driver input_hint; ``extract_text`` is the engine's HTML→text stage and
+must reproduce the stored ``text`` byte-identically per url (the
+determinism gate).  Decode for image/audio/video is STUBBED (the
+container has no codec libraries): ``decode_media`` raises
+NotImplementedError by design, while ``media_features`` computes real
+Spark-side plumbing (schema, batching, partitioning) over a
+deterministic fake payload.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PREFIX = "<html><body>"
+_SUFFIX = "</body></html>"
+
+
+def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the Common-Crawl-style pages table from documents
+    (deterministic; schema = input_hint)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_part).select(
+        F.concat(F.lit("https://example.com/doc/"), F.col("doc_id")).alias("url"),
+        (
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_PREFIX), F.col("text"), F.lit(_SUFFIX)), "UTF-8"
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def extract_text(pages_df: DataFrame) -> DataFrame:
+    """HTML→text extraction (vectorized, Arrow-batched).  Strips the
+    deterministic wrapper; by construction the output must equal the
+    stored ``text`` byte-for-byte per url."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            html = pdf["html"]
+            texts = []
+            for b in html:
+                s = b.decode("utf-8")
+                if s.startswith(_PREFIX) and s.endswith(_SUFFIX):
+                    texts.append(s[len(_PREFIX) : -len(_SUFFIX)])
+                else:
+                    texts.append(s)
+            yield pd.DataFrame({"url": pdf["url"], "extracted_text": texts})
+
+    return pages_df.select("url", "html").mapInPandas(
+        batches, schema="url string, extracted_text string"
+    )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary media column + typed metadata, synthesized
+    deterministically (payload = utf8(md5(media_id) × (id%5+1)))."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_part).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(
+            F.repeat(F.md5(F.col("doc_id").cast("string")), (F.col("doc_id") % 5 + 1).cast("int")),
+            "UTF-8",
+        ).alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 1920).alias("width"),
+            (F.col("doc_id") % 1080).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, kind: str):
+    """Real decode requires codec libs absent from this container."""
+    raise NotImplementedError(
+        f"media decode for kind={kind!r} is stubbed: no image/audio codecs "
+        "in this environment; the Spark-side plumbing (schema, batching, "
+        "partitioning) around it is real and tested"
+    )
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over the opaque payload via mapInPandas —
+    the decode step is a deterministic fake (byte stats), the batch
+    shape/schema/partitioning are the real production plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = [len(b) for b in pdf["payload"]]
+            first = [b[0] if len(b) else 0 for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes,
+                    "first_byte": first,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema="media_id bigint, kind string, n_bytes int, first_byte int"
+    )

@@ -1,0 +1,111 @@
+"""Similarity search over the embedding column (array<float>).
+
+- ``cosine_topk``: brute-force top-k — the correctness baseline.  The
+  dot product is a JVM higher-order-function fold
+  (``aggregate(zip_with(...))``), no Python; queries are broadcast.
+- ``ann_lsh_pairs``: the scale path — random-hyperplane signatures
+  (deterministic integer-arithmetic hyperplanes, so oracles can
+  re-derive them), candidates bucketed by signature, exact cosine only
+  within buckets.
+
+At 100 TB the brute-force side becomes queries×corpus with the corpus
+partitioned and queries broadcast; the LSH variant keeps per-bucket
+fan-in bounded — both shapes are pure joins + window top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for every ``query_stride``-th vector.
+
+    Returns (query_id, neighbor_id, rank, sim) with sim rounded to 6dp
+    (rounding makes the value engine-portable; rank ties break on
+    neighbor id).
+    """
+    queries = embeddings.filter(F.col(id_col) % query_stride == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cand = F.broadcast(queries).join(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        F.col("query_id") != F.col("neighbor_id"),
+    )
+    sim = _dot("__qv", "__cv") / (_norm("__qv") * _norm("__cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("sim", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def lsh_signature_col(vec_col: str = "embedding", n_planes: int = N_PLANES) -> F.Column:
+    """Random-hyperplane signature as a bitstring.  Plane j's weight for
+    dimension k is ((j+1)*31 + k*17) % 13 - 6 — deterministic integer
+    arithmetic reproducible in ANSI SQL."""
+    bits = []
+    for j in range(n_planes):
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, sequence(0, {DIM - 1}),"
+            f" (x, k) -> CAST(x AS DOUBLE) * CAST((({j + 1}) * 31 + k * 17) % 13 - 6 AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """Bucketed ANN: vectors sharing a full hyperplane signature are
+    candidates; exact cosine computed only within buckets."""
+    sig = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_signature_col(vec_col).alias("sig")
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "sig"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "sig"
+    )
+    pairs = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot("__va", "__vb") / (_norm("__va") * _norm("__vb"))
+    return (
+        pairs.withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= min_sim)
+        .select("id_a", "id_b", "sim")
+    )

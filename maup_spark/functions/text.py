@@ -1,0 +1,73 @@
+"""Text-analysis operators for the web-page corpus.
+
+All JVM-side built-ins (split/length/md5/window) — zero Python in these
+paths; each has a closed-form ANSI-SQL oracle (maup_spark.queries).
+The reference has no text surface (maup is geometry-only); these are
+the training-data-pipeline extensions the web-scale graft requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# English stopwords probed by the n-gram language heuristic.  Counting
+# ` word ` occurrences via length arithmetic keeps the op codegen'd and
+# SQL-portable (no regex engine differences between engines).
+_STOPWORDS = ("the", "and", "data", "table", "query")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " "))
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: lengths, token stats, stopword ratio."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(t, " "))
+    n_chars = F.length(t)
+    n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        n_spaces.alias("n_spaces"),
+        ((n_chars - n_spaces).cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+def _count_word(text, word: str):
+    """Occurrences of ``word`` as a token, via length arithmetic (the
+    padded-text trick makes boundary tokens match too)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    probe = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(probe), F.lit(""))))
+        / len(probe)
+    ).cast("long")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-count language heuristic: 'en' iff any probe stopword
+    occurs, else 'und'."""
+    t = F.col(text_col)
+    score = None
+    for w in _STOPWORDS:
+        c = _count_word(t, w)
+        score = c if score is None else score + c
+    return docs.select(
+        "doc_id",
+        score.alias("stopword_hits"),
+        F.when(score > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint (md5 hex — stable across engines)."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.md5(F.substring(F.col(text_col), 1, 64)).alias("prefix_fingerprint"),
+    )

@@ -211,3 +211,293 @@ QUERIES = {
     "normalize_lineitem": q_normalize_lineitem,
     "assign_to_max_lineitem": q_assign_to_max_lineitem,
 }
+
+
+# ------------------------------------------------- training-data pipeline
+
+_CORPUS_SPARK = None  # built per call in _corpus
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic near-duplicates (every 10th doc copied with
+    a 3-token suffix) so dedup operators have real positives."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix token")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+_CORPUS_CTE = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra suffix token' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_SHINGLE_CTE = """tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS shingle
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)"""
+
+_MINHASH_CTE = (
+    "mh AS (SELECT doc_id, "
+    + ", ".join(f"MIN(md5(shingle || '#{i}')) AS m{i}" for i in range(8))
+    + " FROM shn GROUP BY doc_id),\nbands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2*b} || m{2*b+1} AS key FROM mh"
+        for b in range(4)
+    )
+    + "),\ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+    " FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key"
+    " AND a.doc_id < b.doc_id)"
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("len_chars").cast("long").alias("len_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_spaces").cast("long").alias("n_spaces"),
+        "avg_token_len",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs).select(
+        "doc_id", F.col("stopword_hits").cast("long").alias("stopword_hits"), "lang_pred"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import doc_fingerprint
+
+    return doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import exact_dedup
+
+    return exact_dedup(_corpus(spark, sf_dir))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_corpus(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_jaccard
+
+    return ngram_jaccard(_corpus(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash_signatures
+
+    return simhash_signatures(_corpus(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    out = cosine_topk(emb.repartition(n_part))
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import ann_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    return ann_lsh_pairs(emb.repartition(n_part))
+
+
+def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Determinism gate: extracted text must be byte-identical per url."""
+    from .functions.multimodal import extract_text, pages
+
+    return extract_text(pages(spark, sf_dir))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import media_features, media_table
+
+    out = media_features(media_table(spark, sf_dir))
+    return out.select(
+        "media_id", "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("first_byte").cast("int").alias("first_byte"),
+    )
+
+
+def q_adjacencies_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.adjacencies import adjacencies
+
+    grid_layer = D.nation_grid(spark, sf_dir)
+    return adjacencies(grid_layer, id_col="nation_id").select(
+        "id_i", "id_j", "length"
+    )
+
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "pages_extract": q_pages_extract,
+        "media_features": q_media_features,
+        "adjacencies_nations": q_adjacencies_nations,
+    }
+)
+
+_STOPWORD_HITS = " + ".join(
+    f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+    for w in ("the", "and", "data", "table", "query")
+)
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(md5(w), {i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(16)
+)
+_SIMHASH_BITS = " || ".join(
+    f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
+)
+
+_LSH_SIG = " || ".join(
+    "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    f"list_transform(range(0, 64), k -> CAST((({j + 1}) * 31 + k * 17) % 13 - 6 AS DOUBLE))) >= 0 "
+    "THEN '1' ELSE '0' END"
+    for j in range(8)
+)
+
+ORACLES.update(
+    {
+        "text_stats": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS len_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""",
+        "lang_id": f"""
+SELECT doc_id, ({_STOPWORD_HITS}) AS stopword_hits,
+       CASE WHEN ({_STOPWORD_HITS}) > 0 THEN 'en' ELSE 'und' END AS lang_pred
+FROM documents
+""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(text) AS fingerprint,
+       md5(substr(text, 1, 64)) AS prefix_fingerprint
+FROM documents
+""",
+        "exact_dedup": f"""
+WITH {_CORPUS_CTE}
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_members
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+""",
+        "minhash_lsh": f"""
+WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, {_MINHASH_CTE}
+SELECT doc_a, doc_b FROM cand
+""",
+        "ngram_jaccard": f"""
+WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, {_MINHASH_CTE},
+ssets AS (SELECT DISTINCT doc_id, shingle FROM shn),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ssets GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN ssets sa ON sa.doc_id = c.doc_a
+  JOIN ssets sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+""",
+        "simhash": f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        "cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+  FROM q JOIN c ON q.query_id <> c.neighbor_id
+),
+r AS (SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+""",
+        "ann_lsh": f"""
+WITH sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_LSH_SIG} AS sig
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.0e0
+""",
+        "pages_extract": """
+SELECT 'https://example.com/doc/' || doc_id AS url, text AS extracted_text
+FROM documents
+""",
+        "media_features": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(32 * (doc_id % 5 + 1) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) AS first_byte
+FROM documents
+""",
+        "adjacencies_nations": """
+WITH g AS (SELECT n_nationkey AS id, n_nationkey % 5 AS gx,
+                  n_nationkey // 5 AS gy FROM nation)
+SELECT a.id AS id_i, b.id AS id_j, 1.0e0 AS length
+FROM g a JOIN g b
+  ON a.id < b.id AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+""",
+    }
+)
