@@ -34,7 +34,12 @@ from .geom.base import Geometry
 # extracted entities" joined against district layers).  Coordinates are
 # double-typed end to end (…e0 literals) so Spark SQL and DuckDB do the
 # exact same IEEE-754 ops in the same order → bit-identical coordinates.
-ENT_K = 64
+import os as _os
+
+# Bench-tunable fan-out (the scaling protocol needs a compute-bound job;
+# oracles are derived from the same constant at import, so any value is
+# self-consistent — the driver's correctness runs use the default).
+ENT_K = int(_os.environ.get("SPARK_GRAFT_ENT_K", "64"))
 LON_SQL = "(CAST((entity_id * 48271) % 360000 AS DOUBLE) / 1000.0e0 - 180.0e0 + 0.0005e0)"
 LAT_SQL = "(CAST((entity_id * 16807) % 180000 AS DOUBLE) / 1000.0e0 - 90.0e0 + 0.0005e0)"
 

@@ -6,10 +6,13 @@ pairs sharing positive boundary length, ``queen`` keeps corner touches
 too; positive-area pairs indicate overlaps (a data-quality signal),
 ids missing from every pair are islands.
 
-Spark plan: a cell-join of the layer with itself (broadcast when the
-layer is small), ``i < j`` pushed as a codegen'd filter *before* the
-exact pairwise-intersection UDF, reference-point dedup, no shuffle of
-geometry payloads.
+Spark plan: a cell self-join carrying ONLY ids and bbox columns
+(geometry stays in a SparkContext broadcast; the pairwise exact overlay
+resolves both sides from it — zero geometry bytes over the join),
+``i < j`` pushed as a codegen'd filter before the UDF, reference-point
+dedup.  For layers too large to broadcast, pass
+``broadcast_geoms=False`` to fall back to shipping WKB through the
+join (the 100 TB shape would shard the broadcast per cell region).
 """
 
 from __future__ import annotations
@@ -18,8 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index.cells import CellGrid
-from .intersections import _intersection_udf
-from .spatial import DEFAULT_GRID, with_cell_cover, _cell_of
+from .intersections import _IX_SCHEMA, _intersection_udf
+from .spatial import (
+    DEFAULT_GRID,
+    _cell_of,
+    geom_broadcast,
+    make_pair_intersection_udf,
+    with_cell_cover,
+)
 
 
 def adjacencies(
@@ -29,6 +38,7 @@ def adjacencies(
     adjacency_type: str = "rook",
     grid: CellGrid = DEFAULT_GRID,
     broadcast: bool = True,
+    broadcast_geoms: bool = True,
 ) -> DataFrame:
     """Returns ``DataFrame[id_i, id_j, geometry, area, length]``.
 
@@ -39,22 +49,24 @@ def adjacencies(
     if adjacency_type not in ("rook", "queen"):
         raise ValueError('adjacency_type must be "rook" or "queen"')
 
+    base = geoms.select(F.col(id_col).alias("__gid"), F.col(geom_col).alias("__g"))
+    bc = geom_broadcast(base, "__gid", "__g") if broadcast_geoms else None
+
     left = with_cell_cover(
-        geoms.select(
-            F.col(id_col).alias("id_i"), F.col(geom_col).alias("__gi")
-        ),
+        base.select(F.col("__gid").alias("id_i"), F.col("__g").alias("__gi")),
         grid,
         geom_col="__gi",
         bounds_prefix="__i_",
     )
     right = with_cell_cover(
-        geoms.select(
-            F.col(id_col).alias("id_j"), F.col(geom_col).alias("__gj")
-        ),
+        base.select(F.col("__gid").alias("id_j"), F.col("__g").alias("__gj")),
         grid,
         geom_col="__gj",
         bounds_prefix="__j_",
     )
+    if broadcast_geoms:
+        left = left.drop("__gi")
+        right = right.drop("__gj")
     if broadcast:
         right = F.broadcast(right)
     joined = left.join(right, "cell_id").filter(F.col("id_i") < F.col("id_j"))
@@ -65,16 +77,19 @@ def adjacencies(
     )
     joined = joined.filter(ref_cell == F.col("cell_id"))
 
-    out = (
-        joined.withColumn("__ix", _intersection_udf(F.col("__gi"), F.col("__gj")))
-        .filter(~F.col("__ix.is_empty"))
-        .select(
-            "id_i",
-            "id_j",
-            F.col("__ix.wkb").alias("geometry"),
-            F.col("__ix.area").alias("area"),
-            F.col("__ix.length").alias("length"),
+    if broadcast_geoms:
+        pair_udf = make_pair_intersection_udf(bc, _IX_SCHEMA)
+        joined = joined.withColumn("__ix", pair_udf(F.col("id_i"), F.col("id_j")))
+    else:
+        joined = joined.withColumn(
+            "__ix", _intersection_udf(F.col("__gi"), F.col("__gj"))
         )
+    out = joined.filter(~F.col("__ix.is_empty")).select(
+        "id_i",
+        "id_j",
+        F.col("__ix.wkb").alias("geometry"),
+        F.col("__ix.area").alias("area"),
+        F.col("__ix.length").alias("length"),
     )
     if adjacency_type == "rook":
         out = out.filter(F.col("length") > 0)

@@ -33,8 +33,11 @@ from ..index.cells import CellGrid
 from .spatial import (
     DEFAULT_GRID,
     candidate_pairs,
-    covers_udf,
-    pip_udf,
+    geom_broadcast,
+    make_covers_by_id_udf,
+    make_dist_by_id_udf,
+    make_intersection_area_by_id_udf,
+    make_pip_by_id_udf,
     point_cell_col,
     with_cell_cover,
 )
@@ -62,33 +65,49 @@ def assign_points(
     pts = points.select(point_id, x, y).withColumn(
         "cell_id", point_cell_col(grid, x, y)
     )
+    tgt_small = targets.select(
+        F.col(target_id).alias("__tid"),
+        F.col("geometry").alias("__tgeom"),
+        *(target_bounds or ()),
+    )
+    bc = geom_broadcast(tgt_small, "__tid", "__tgeom")
     tgt = with_cell_cover(
-        targets.select(
-            F.col(target_id).alias("__tid"),
-            F.col("geometry").alias("__tgeom"),
-            *(target_bounds or ()),
-        ),
+        tgt_small,
         grid,
         geom_col="__tgeom",
         bounds_cols=target_bounds,
+    ).drop("__tgeom")
+    # LEFT join keeps every point (NULL __tid when no target covers its
+    # cell), so a single groupBy produces the full one-row-per-point
+    # result — the only shuffle in the operator.  A point interior to 2+
+    # overlapping targets falls through to NULL (the reference drops
+    # multi-covered sources, /root/reference/maup/indexed_geometries.py:58-71).
+    cand = pts.join(F.broadcast(tgt), "cell_id", "left")
+    pip_by_id = make_pip_by_id_udf(bc)
+    hit_tid = F.when(
+        F.col("__tid").isNotNull()
+        & pip_by_id(F.col(x), F.col(y), F.col("__tid")),
+        F.col("__tid"),
     )
-    cand = pts.join(F.broadcast(tgt), "cell_id")
-    hits = (
-        cand.filter(pip_udf(F.col(x), F.col(y), F.col("__tgeom")))
-        .select(point_id, F.col("__tid"))
-        .dropDuplicates([point_id, "__tid"])
+    out = (
+        cand.withColumn("__hit", hit_tid)
+        .groupBy(point_id)
+        .agg(
+            F.min("__hit").alias("__tid"),
+            F.count_distinct(F.col("__hit")).alias("__n"),
+            F.first(x).alias(x),
+            F.first(y).alias(y),
+        )
+        .select(
+            point_id,
+            x,
+            y,
+            F.when(F.col("__n") == 1, F.col("__tid")).alias(target_id),
+        )
+        .withColumn(
+            "method", F.when(F.col(target_id).isNotNull(), F.lit("covering"))
+        )
     )
-    # a point interior to 2+ overlapping targets falls through (reference
-    # drops multi-covered sources, /root/reference/maup/indexed_geometries.py:58-71)
-    uniq = (
-        hits.groupBy(point_id)
-        .agg(F.min("__tid").alias("__tid"), F.count("*").alias("__n"))
-        .filter(F.col("__n") == 1)
-        .select(point_id, F.col("__tid").alias(target_id))
-        .withColumn("method", F.lit("covering"))
-    )
-
-    out = points.select(point_id, x, y).join(uniq, point_id, "left")
 
     if knn_fallback:
         # the phase-1 result is referenced three times below (unmatched
@@ -98,7 +117,7 @@ def assign_points(
         unmatched = out.filter(F.col(target_id).isNull()).select(point_id, x, y)
         near = _knn_points(
             unmatched, targets, point_id, target_id, x, y, grid,
-            target_bounds, knn_coarsen,
+            target_bounds, knn_coarsen, bc,
         ).withColumnRenamed(target_id, "__knn_tid")
         out = (
             out.join(near, point_id, "left")
@@ -124,6 +143,7 @@ def _knn_points(
     grid: CellGrid,
     target_bounds: tuple | None,
     coarsen: int,
+    bc=None,
 ) -> DataFrame:
     """Nearest-target fallback for the unmatched minority.
 
@@ -134,37 +154,15 @@ def _knn_points(
     the winner; search radius is one coarse cell (2^coarsen fine cells).
     """
     coarse = CellGrid(grid.x0, grid.y0, grid.x1, grid.y1, max(0, grid.res - coarsen))
-
-    @F.pandas_udf(DoubleType())
-    def dist_udf(xs, ys, wkbs):
-        import numpy as np
-        import pandas as pd
-
-        from ..geom.base import Geometry
-
-        px = xs.to_numpy(dtype=np.float64)
-        py = ys.to_numpy(dtype=np.float64)
-        out = np.full(len(px), np.inf)
-        df = pd.DataFrame({"i": np.arange(len(px))})
-        for b, grp in df.groupby(wkbs.to_numpy(), sort=False):
-            g = Geometry.from_wkb(b)
-            segs = [
-                np.column_stack([r[:-1], r[1:]])
-                for rings in g.polygons()
-                for r in rings
-            ]
-            if not segs:
-                continue
-            sg = np.vstack(segs)
-            idx = grp["i"].to_numpy()
-            x1, y1, x2, y2 = sg[:, 0], sg[:, 1], sg[:, 2], sg[:, 3]
-            dx, dy = x2 - x1, y2 - y1
-            ll = np.where(dx * dx + dy * dy == 0, 1.0, dx * dx + dy * dy)
-            t = ((px[idx, None] - x1) * dx + (py[idx, None] - y1) * dy) / ll
-            t = np.clip(t, 0.0, 1.0)
-            d = np.hypot(x1 + t * dx - px[idx, None], y1 + t * dy - py[idx, None])
-            out[idx] = d.min(axis=1)
-        return pd.Series(out)
+    if bc is None:
+        bc = geom_broadcast(
+            targets.select(
+                F.col(target_id).alias("__tid"), F.col("geometry").alias("__tgeom")
+            ),
+            "__tid",
+            "__tgeom",
+        )
+    dist_udf = make_dist_by_id_udf(bc)
 
     n = F.lit(coarse.n)
     ix = F.floor((F.col(x) - F.lit(coarse.x0)) / F.lit(coarse.wx)).cast("long")
@@ -192,11 +190,11 @@ def _knn_points(
         coarse,
         geom_col="__tgeom",
         bounds_cols=target_bounds,
-    )
+    ).drop("__tgeom")
     cand = pts.join(F.broadcast(tgt), "cell_id").dropDuplicates([point_id, "__tid"])
     w = Window.partitionBy(point_id).orderBy("__dist", "__tid")
     return (
-        cand.withColumn("__dist", dist_udf(F.col(x), F.col(y), F.col("__tgeom")))
+        cand.withColumn("__dist", dist_udf(F.col(x), F.col(y), F.col("__tid")))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(point_id, F.col("__tid").alias(target_id))
@@ -227,12 +225,15 @@ def assign(
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
+    bc = geom_broadcast(tgt, "__tid", "__tgeom")
     cand = candidate_pairs(
         src, tgt, grid, "__sgeom", "__tgeom",
         source_bounds=source_bounds, target_bounds=target_bounds,
+        drop_target_geom=True,
     )
+    covers_by_id = make_covers_by_id_udf(bc)
     covered = (
-        cand.filter(covers_udf(F.col("__tgeom"), F.col("__sgeom")))
+        cand.filter(covers_by_id(F.col("__tid"), F.col("__sgeom")))
         .groupBy("__sid")
         .agg(F.min("__tid").alias("__tid"), F.count("*").alias("__n"))
         .filter(F.col("__n") == 1)
@@ -279,12 +280,6 @@ def assign_by_area(
 ) -> DataFrame:
     """argmax_t area(source ∩ target) over strictly-positive-area pairs
     (/root/reference/maup/assign.py:45-46)."""
-    from ..geom import vector as V
-
-    @F.pandas_udf(DoubleType())
-    def ia_udf(a, b):
-        return V.batch_intersection_area(a, b)
-
     src = sources.select(
         F.col(source_id).alias("__sid"),
         F.col("geometry").alias("__sgeom"),
@@ -295,11 +290,14 @@ def assign_by_area(
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
+    bc = geom_broadcast(tgt, "__tid", "__tgeom")
     cand = candidate_pairs(
         src, tgt, grid, "__sgeom", "__tgeom",
         source_bounds=source_bounds, target_bounds=target_bounds,
+        drop_target_geom=True,
     )
-    pairs = cand.withColumn("__area", ia_udf(F.col("__sgeom"), F.col("__tgeom")))
+    ia_by_id = make_intersection_area_by_id_udf(bc)
+    pairs = cand.withColumn("__area", ia_by_id(F.col("__tid"), F.col("__sgeom")))
     pairs = pairs.filter(F.col("__area") > 0)
     return assign_to_max(
         pairs.select(

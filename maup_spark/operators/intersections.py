@@ -8,10 +8,17 @@ Reference semantics (/root/reference/maup/intersections.py:9-99):
 - ``prorate(relationship, data, weights)`` → disaggregate source data
   over relationship rows by weight, then sum (or other agg) per target.
 
-Spark plan: exploded-cell equi-join (polygon targets broadcast) →
-pair dedup → exact pairwise overlay in one Arrow-batched struct UDF →
-filters pushed on the computed ``area`` column.  ``prorate`` is two
-equi-joins plus a hash aggregation — no geometry at all, fully
+Physical plans (geometry bytes never ride the candidate join):
+
+- **rect layers** (``rect_layers=True``, both sides carry bbox
+  columns): the whole refine is codegen'd LEAST/GREATEST arithmetic —
+  zero Python, zero geometry transfer.
+- **general polygons**: the target layer (small side) is collected into
+  a SparkContext broadcast {id: wkb}; candidates carry only ids +
+  source WKB; the exact overlay runs in one Arrow-batched struct UDF
+  that resolves targets from the broadcast (parsed once per worker).
+
+``prorate`` is two equi-joins plus a hash aggregation — fully
 codegen'd.
 """
 
@@ -29,7 +36,12 @@ from pyspark.sql.types import (
 
 from ..geom import vector as V
 from ..index.cells import CellGrid
-from .spatial import DEFAULT_GRID, candidate_pairs
+from .spatial import (
+    DEFAULT_GRID,
+    candidate_pairs,
+    geom_broadcast,
+    make_intersection_by_id_udf,
+)
 
 _IX_SCHEMA = StructType(
     [
@@ -60,8 +72,15 @@ def intersections(
     broadcast_targets: bool = True,
     source_bounds: tuple | None = None,
     target_bounds: tuple | None = None,
+    rect_layers: bool = False,
+    keep_geometry: bool = True,
+    carry_source_cols: tuple = (),
 ) -> DataFrame:
     """All nonempty pairwise intersections.
+
+    ``carry_source_cols`` rides extra source columns through to the
+    output (e.g. the data column being prorated) — avoids a second
+    full-size join downstream.
 
     Returns ``DataFrame[source_id, target_id, geometry, area, length]``.
     Mixed-dimension results (shared edges → lines, corner touches →
@@ -70,28 +89,49 @@ def intersections(
     applies the strict ``area > cutoff`` filter of
     /root/reference/maup/intersections.py:48-51.
     """
+    if rect_layers:
+        if not (source_bounds and target_bounds):
+            raise ValueError("rect_layers requires bounds columns on both sides")
+        return _rect_intersections(
+            sources,
+            targets,
+            source_id,
+            target_id,
+            area_cutoff,
+            grid,
+            broadcast_targets,
+            source_bounds,
+            target_bounds,
+            keep_geometry,
+            carry_source_cols,
+        )
+
     src = sources.select(
         F.col(source_id).alias("__sid"),
         F.col("geometry").alias("__sgeom"),
         *(source_bounds or ()),
+        *carry_source_cols,
     )
-    tgt = targets.select(
+    tgt_small = targets.select(
         F.col(target_id).alias("__tid"),
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
+    bc = geom_broadcast(tgt_small, "__tid", "__tgeom")
     cand = candidate_pairs(
         src,
-        tgt,
+        tgt_small,
         grid,
         "__sgeom",
         "__tgeom",
         broadcast_targets=broadcast_targets,
         source_bounds=source_bounds,
         target_bounds=target_bounds,
+        drop_target_geom=True,
     )
+    ix_udf = make_intersection_by_id_udf(bc, _IX_SCHEMA)
     out = (
-        cand.withColumn("__ix", _intersection_udf(F.col("__sgeom"), F.col("__tgeom")))
+        cand.withColumn("__ix", ix_udf(F.col("__tid"), F.col("__sgeom")))
         .filter(~F.col("__ix.is_empty"))
         .select(
             F.col("__sid").alias(source_id),
@@ -99,7 +139,88 @@ def intersections(
             F.col("__ix.wkb").alias("geometry"),
             F.col("__ix.area").alias("area"),
             F.col("__ix.length").alias("length"),
+            *carry_source_cols,
         )
+    )
+    if area_cutoff is not None:
+        out = out.filter(F.col("area") > F.lit(float(area_cutoff)))
+    return out
+
+
+def _rect_intersections(
+    sources,
+    targets,
+    source_id,
+    target_id,
+    area_cutoff,
+    grid,
+    broadcast_targets,
+    source_bounds,
+    target_bounds,
+    keep_geometry,
+    carry_source_cols=(),
+) -> DataFrame:
+    """Pure-JVM rect×rect overlay: LEAST/GREATEST arithmetic inside
+    whole-stage codegen; degenerate (edge/corner touch) intersections
+    keep reference semantics (nonempty, zero area)."""
+    src = sources.select(
+        F.col(source_id).alias("__sid"), *source_bounds, *carry_source_cols
+    )
+    tgt = targets.select(F.col(target_id).alias("__tid"), *target_bounds)
+    cand = candidate_pairs(
+        src,
+        tgt,
+        grid,
+        source_geom=None,
+        target_geom=None,
+        broadcast_targets=broadcast_targets,
+        source_bounds=source_bounds,
+        target_bounds=target_bounds,
+    )
+    sx0, sy0, sx1, sy1 = (F.col(c) for c in source_bounds)
+    tx0, ty0, tx1, ty1 = (F.col(c) for c in target_bounds)
+    x0 = F.greatest(sx0, tx0)
+    y0 = F.greatest(sy0, ty0)
+    x1 = F.least(sx1, tx1)
+    y1 = F.least(sy1, ty1)
+    w = x1 - x0
+    h = y1 - y0
+    out = (
+        cand.withColumn("__w", w)
+        .withColumn("__h", h)
+        .filter((F.col("__w") >= 0) & (F.col("__h") >= 0))
+        .withColumn(
+            "area",
+            F.when(
+                (F.col("__w") > 0) & (F.col("__h") > 0), F.col("__w") * F.col("__h")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "length",
+            F.when(
+                (F.col("__w") > 0) & (F.col("__h") > 0),
+                2.0 * (F.col("__w") + F.col("__h")),
+            ).otherwise(F.col("__w") + F.col("__h")),
+        )
+    )
+    if keep_geometry:
+
+        def rect_geom(bx0, by0, bx1, by1):
+            return V.batch_rect_wkb(
+                bx0.to_numpy(), by0.to_numpy(), bx1.to_numpy(), by1.to_numpy()
+            )
+
+        geom_udf = F.pandas_udf(rect_geom, "binary").asNondeterministic()
+        out = out.withColumn("geometry", geom_udf(x0, y0, x1, y1))
+    else:
+        out = out.withColumn("geometry", F.lit(None).cast("binary"))
+    out = out.select(
+        F.col("__sid").alias(source_id),
+        F.col("__tid").alias(target_id),
+        "geometry",
+        "area",
+        "length",
+        *carry_source_cols,
     )
     if area_cutoff is not None:
         out = out.filter(F.col("area") > F.lit(float(area_cutoff)))
@@ -122,18 +243,11 @@ def prorate(
     data:         DataFrame[source_id, columns...]
     Returns       DataFrame[target_id, columns...] aggregated.
     """
-    columns = columns or [
-        c for c in data.columns if c != source_id
-    ]
+    columns = columns or [c for c in data.columns if c != source_id]
     joined = relationship.join(data, source_id)
     disagg = joined.select(
         target_id,
-        *[
-            (F.col(c) * F.col(weights_col)).alias(c)
-            for c in columns
-        ],
+        *[(F.col(c) * F.col(weights_col)).alias(c) for c in columns],
     )
     agg_fn = getattr(F, aggregate_by)
-    return disagg.groupBy(target_id).agg(
-        *[agg_fn(c).alias(c) for c in columns]
-    )
+    return disagg.groupBy(target_id).agg(*[agg_fn(c).alias(c) for c in columns])

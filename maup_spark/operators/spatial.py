@@ -122,6 +122,170 @@ def covers_udf(a_wkbs, b_wkbs):
     return V.batch_covers(a_wkbs, b_wkbs)
 
 
+# ---------------------------------------------------------------------------
+# broadcast-geometry refinement
+#
+# Shipping polygon WKB through a multi-million-row candidate join repeats
+# the same few thousand geometries millions of times over Arrow — measured
+# as THE scaling bottleneck (Python workers starved at ~50% while the JVM
+# serialized binaries).  Instead the small layer is collected once into a
+# SparkContext broadcast {id: wkb}; refine UDFs receive only the id column
+# and parse each geometry once per worker (cached on the function object,
+# surviving across batches in reused workers).
+# ---------------------------------------------------------------------------
+
+
+def geom_broadcast(df: DataFrame, id_col: str, geom_col: str = "geometry"):
+    """Collect a (small) geometry layer into a broadcast {id: wkb}."""
+    rows = df.select(id_col, geom_col).collect()
+    sc = df.sparkSession.sparkContext
+    return sc.broadcast({r[0]: bytes(r[1]) for r in rows})
+
+
+def make_pip_by_id_udf(bc):
+    """(x, y, target_id) -> point-in-polygon, polygons from broadcast."""
+
+    def batch(xs, ys, tids):
+        import numpy as np
+        import pandas as pd
+
+        from ..geom.base import Geometry, points_in_rings
+
+        cache = batch.__dict__.setdefault("_geoms", {})
+        x = xs.to_numpy(dtype=np.float64)
+        y = ys.to_numpy(dtype=np.float64)
+        res = np.zeros(len(x), dtype=bool)
+        df = pd.DataFrame({"i": np.arange(len(x))})
+        for tid, grp in df.groupby(tids.to_numpy(), sort=False):
+            g = cache.get(tid)
+            if g is None:
+                g = cache[tid] = Geometry.from_wkb(bc.value[tid])
+            idx = grp["i"].to_numpy()
+            inside = np.zeros(len(idx), dtype=bool)
+            for rings in g.polygons():
+                inside ^= points_in_rings(x[idx], y[idx], rings)
+            res[idx] = inside
+        return pd.Series(res)
+
+    return F.pandas_udf(batch, "boolean")
+
+
+def make_covers_by_id_udf(bc):
+    """(target_id, source_wkb) -> target covers source."""
+
+    def batch(tids, swkbs):
+        import pandas as pd
+
+        from ..geom.base import Geometry
+        from ..geom.vector import batch_rect_bounds_arr, fast_rect_bounds
+
+        cache = batch.__dict__.setdefault("_geoms", {})
+        rcache = batch.__dict__.setdefault("_rects", {})
+        sb = batch_rect_bounds_arr(swkbs)
+        out = []
+        for i, (tid, sw) in enumerate(zip(tids, swkbs)):
+            if tid not in rcache:
+                rcache[tid] = fast_rect_bounds(bc.value[tid])
+            tr = rcache[tid]
+            srow = sb[i]
+            if tr is not None and srow[0] == srow[0]:
+                out.append(
+                    tr[0] <= srow[0]
+                    and tr[1] <= srow[1]
+                    and tr[2] >= srow[2]
+                    and tr[3] >= srow[3]
+                )
+                continue
+            g = cache.get(tid)
+            if g is None:
+                g = cache[tid] = Geometry.from_wkb(bc.value[tid])
+            out.append(g.covers(Geometry.from_wkb(sw)))
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, "boolean")
+
+
+def make_intersection_by_id_udf(bc, schema):
+    """(target_id, source_wkb) -> intersection struct, target geometry
+    from broadcast (source WKB still ships once per pair)."""
+
+    def batch(tids, swkbs):
+        import pandas as pd
+
+        twkbs = pd.Series([bc.value[t] for t in tids])
+        return V.batch_intersection(swkbs, twkbs)
+
+    return F.pandas_udf(batch, schema).asNondeterministic()
+
+
+def make_intersection_area_by_id_udf(bc):
+    """(target_id, source_wkb) -> exact intersection area."""
+
+    def batch(tids, swkbs):
+        import pandas as pd
+
+        twkbs = pd.Series([bc.value[t] for t in tids])
+        return V.batch_intersection_area(swkbs, twkbs)
+
+    return F.pandas_udf(batch, "double")
+
+
+def make_dist_by_id_udf(bc):
+    """(x, y, target_id) -> exact point→boundary distance, geometry from
+    broadcast, vectorized per distinct target."""
+
+    def batch(xs, ys, tids):
+        import numpy as np
+        import pandas as pd
+
+        from ..geom.base import Geometry
+
+        segcache = batch.__dict__.setdefault("_segs", {})
+        px = xs.to_numpy(dtype=np.float64)
+        py = ys.to_numpy(dtype=np.float64)
+        out = np.full(len(px), np.inf)
+        df = pd.DataFrame({"i": np.arange(len(px))})
+        for tid, grp in df.groupby(tids.to_numpy(), sort=False):
+            sg = segcache.get(tid)
+            if sg is None:
+                g = Geometry.from_wkb(bc.value[tid])
+                segs = [
+                    np.column_stack([r[:-1], r[1:]])
+                    for rings in g.polygons()
+                    for r in rings
+                ]
+                sg = segcache[tid] = (
+                    np.vstack(segs) if segs else np.empty((0, 4))
+                )
+            if not len(sg):
+                continue
+            idx = grp["i"].to_numpy()
+            x1, y1, x2, y2 = sg[:, 0], sg[:, 1], sg[:, 2], sg[:, 3]
+            dx, dy = x2 - x1, y2 - y1
+            ll = np.where(dx * dx + dy * dy == 0, 1.0, dx * dx + dy * dy)
+            t = ((px[idx, None] - x1) * dx + (py[idx, None] - y1) * dy) / ll
+            t = np.clip(t, 0.0, 1.0)
+            d = np.hypot(x1 + t * dx - px[idx, None], y1 + t * dy - py[idx, None])
+            out[idx] = d.min(axis=1)
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, "double")
+
+
+def make_pair_intersection_udf(bc, schema):
+    """(id_a, id_b) -> intersection struct with BOTH geometries from the
+    broadcast — zero geometry bytes over Arrow (self-join adjacency)."""
+
+    def batch(ids_a, ids_b):
+        import pandas as pd
+
+        va = pd.Series([bc.value[a] for a in ids_a])
+        vb = pd.Series([bc.value[b] for b in ids_b])
+        return V.batch_intersection(va, vb)
+
+    return F.pandas_udf(batch, schema).asNondeterministic()
+
+
 def candidate_pairs(
     sources: DataFrame,
     targets: DataFrame,
@@ -131,19 +295,27 @@ def candidate_pairs(
     broadcast_targets: bool = True,
     source_bounds: tuple[str, str, str, str] | None = None,
     target_bounds: tuple[str, str, str, str] | None = None,
+    drop_source_geom: bool = False,
+    drop_target_geom: bool = False,
 ) -> DataFrame:
     """Cell-join candidate (source, target) pairs — exactly one row per
     pair via the reference-point rule (module docstring), no shuffle.
 
-    Column name collisions between the two sides must be resolved by the
-    caller (alias geometry columns before calling).
+    ``drop_*_geom`` removes the geometry column right after its bbox is
+    computed, so WKB never rides the join (use with broadcast-geometry
+    refine UDFs).  Column name collisions between the two sides must be
+    resolved by the caller (alias geometry columns before calling).
     """
     s = with_cell_cover(
         sources, grid, source_geom, bounds_prefix="__s_", bounds_cols=source_bounds
     )
+    if drop_source_geom and source_geom:
+        s = s.drop(source_geom)
     t = with_cell_cover(
         targets, grid, target_geom, bounds_prefix="__t_", bounds_cols=target_bounds
     )
+    if drop_target_geom and target_geom:
+        t = t.drop(target_geom)
     if broadcast_targets:
         t = F.broadcast(t)
     joined = s.join(t, "cell_id")

@@ -78,14 +78,18 @@ def q_point_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_intersections_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon×polygon intersections (source rects × district grid)."""
     ix = intersections(
-        D.source_rects(spark, sf_dir).select(
-            "entity_id", "geometry", "x0", "y0", "x1", "y1"
+        D.points(spark, sf_dir).selectExpr(
+            "entity_id",
+            "lon - 1.5e0 AS x0", "lat - 1.0e0 AS y0",
+            "lon + 1.5e0 AS x1", "lat + 1.0e0 AS y1",
         ),
         D.districts(spark),
         source_id="entity_id",
         target_id="district_id",
         source_bounds=("x0", "y0", "x1", "y1"),
         target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+        rect_layers=True,
+        keep_geometry=False,
     )
     return ix.select("entity_id", "district_id", "area")
 
@@ -95,18 +99,25 @@ def q_prorate_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     area/source-area, n_chars prorated onto districts.  Sums go through
     DECIMAL(38,12) so they are order-invariant (distributed float sums
     are not)."""
-    rects = D.source_rects(spark, sf_dir)
+    rects = D.points(spark, sf_dir).selectExpr(
+        "entity_id",
+        "lon - 1.5e0 AS x0", "lat - 1.0e0 AS y0",
+        "lon + 1.5e0 AS x1", "lat + 1.0e0 AS y1",
+        "n_chars",
+    )
     pieces = intersections(
-        rects.select("entity_id", "geometry", "x0", "y0", "x1", "y1"),
+        rects.select("entity_id", "x0", "y0", "x1", "y1", "n_chars"),
         D.districts(spark),
         source_id="entity_id",
         target_id="district_id",
         source_bounds=("x0", "y0", "x1", "y1"),
         target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+        rect_layers=True,
+        keep_geometry=False,
+        carry_source_cols=("n_chars",),
     )
     rect_area = float((2 * D.RX) * (2 * D.RY))
-    weighted = pieces.withColumn("weight", F.col("area") / F.lit(rect_area))
-    joined = weighted.join(rects.select("entity_id", "n_chars"), "entity_id")
+    joined = pieces.withColumn("weight", F.col("area") / F.lit(rect_area))
     return (
         joined.withColumn(
             "term",
