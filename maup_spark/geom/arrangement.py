@@ -537,6 +537,19 @@ def make_valid(geom: Geometry) -> Geometry:
     )
 
 
+def shared_boundary_length(a: Geometry, b: Geometry) -> float:
+    """Total length of the collinear overlap between the boundaries of
+    ``a`` and ``b`` (the max-shared-perimeter weight of
+    /root/reference/maup/repair.py:478 without materializing geometry)."""
+    segs = _segments_of(a, 0) + _segments_of(b, 1)
+    edges = _node(segs)
+    total = 0.0
+    for (u, v), tags in edges.items():
+        if tags >= {0, 1}:
+            total += math.hypot(v[0] - u[0], v[1] - u[1])
+    return total
+
+
 def holes_of_union_geom(geoms):
     """Interior rings of union(geoms), each as its own Polygon — mirrors
     holes()/holes_of_union (/root/reference/maup/repair.py:74-103)."""

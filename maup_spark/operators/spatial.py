@@ -286,6 +286,60 @@ def make_pair_intersection_udf(bc, schema):
     return F.pandas_udf(batch, schema).asNondeterministic()
 
 
+def hot_cells(
+    df: DataFrame, threshold_ratio: float = 4.0, cell_col: str = "cell_id"
+) -> dict[int, int]:
+    """Cell histogram → {hot cell_id: salt_factor}.
+
+    A cell is *hot* when its row count exceeds ``threshold_ratio`` ×
+    mean; its salt factor is ceil(count / mean) capped at 32.  This is
+    the dense-urban-tile detector the north_star calls for — an
+    aggregation pass over the indexed side, cheap relative to the join.
+    """
+    rows = df.groupBy(cell_col).count().collect()
+    if not rows:
+        return {}
+    mean = sum(r["count"] for r in rows) / len(rows)
+    out = {}
+    for r in rows:
+        if r["count"] > threshold_ratio * mean:
+            out[r[cell_col]] = min(32, int(r["count"] / mean) + 1)
+    return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    salts: dict[int, int],
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Two-level salted equi-join on ``cell_col`` for the non-broadcast
+    path (polygon side too large to broadcast).
+
+    Hot cells on the big side get a deterministic salt in [0, k); the
+    small side replicates those cells k×.  Cold cells join with salt 0.
+    AQE's skew-join splitting remains enabled as the backstop — this
+    handles the skew Catalyst cannot see coming (pre-aggregated
+    geometry fan-out).
+    """
+    if not salts:
+        return big.join(small, cell_col)
+    salt_map = F.create_map(
+        *[F.lit(v) for kv in salts.items() for v in kv]
+    )
+    bigk = big.withColumn("__k", F.coalesce(salt_map[F.col(cell_col)], F.lit(1)))
+    # deterministic pseudo-random salt from a stable row hash
+    bigk = bigk.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.col("__k"))
+    ).drop("__k")
+    smallk = small.withColumn(
+        "__k", F.coalesce(salt_map[F.col(cell_col)], F.lit(1))
+    ).withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.col("__k") - 1))
+    ).drop("__k")
+    return bigk.join(smallk, [cell_col, "__salt"]).drop("__salt")
+
+
 def candidate_pairs(
     sources: DataFrame,
     targets: DataFrame,
@@ -297,6 +351,7 @@ def candidate_pairs(
     target_bounds: tuple[str, str, str, str] | None = None,
     drop_source_geom: bool = False,
     drop_target_geom: bool = False,
+    salt_skew: bool = True,
 ) -> DataFrame:
     """Cell-join candidate (source, target) pairs — exactly one row per
     pair via the reference-point rule (module docstring), no shuffle.
@@ -317,8 +372,11 @@ def candidate_pairs(
     if drop_target_geom and target_geom:
         t = t.drop(target_geom)
     if broadcast_targets:
-        t = F.broadcast(t)
-    joined = s.join(t, "cell_id")
+        joined = s.join(F.broadcast(t), "cell_id")
+    else:
+        # shuffle-join path (polygon side too big to broadcast): explicit
+        # two-level salting of hot cells + AQE skew-join as backstop
+        joined = salted_join(s, t, hot_cells(s) if salt_skew else {})
     ref_cell = _cell_of(
         grid,
         F.greatest("__s_xmin", "__t_xmin"),

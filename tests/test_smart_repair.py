@@ -1,0 +1,100 @@
+"""smart_repair parity: the reference's toy-precinct fixture
+(/root/reference/tests/test_smart_repair.py:12-41, random.seed(2023))
+must come out doctor-healthy; region nesting must hold."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from maup_spark import CellGrid, Geometry
+from maup_spark.operators.repair import doctor
+from maup_spark.operators.smart_repair import repair_items, smart_repair
+from tests.conftest import sq_wkb
+
+GRID = CellGrid(x0=-10, y0=-10, x1=10, y1=10, res=4)
+
+
+def toy_precinct_polys():
+    # verbatim construction of the reference fixture
+    random.seed(2023)
+    polys = []
+    for i in range(4):
+        for j in range(4):
+            pts = (
+                [(0.5 * i + 0.1 * k, 0.5 * j + (random.random() - 0.5) / 12) for k in range(6)]
+                + [(0.5 * (i + 1) + (random.random() - 0.5) / 12, 0.5 * j + 0.1 * k) for k in range(1, 6)]
+                + [(0.5 * (i + 1) - 0.1 * k, 0.5 * (j + 1) + (random.random() - 0.5) / 12) for k in range(1, 6)]
+                + [(0.5 * i + (random.random() - 0.5) / 12, 0.5 * (j + 1) - 0.1 * k) for k in range(1, 5)]
+            )
+            polys.append(Geometry.polygon(pts))
+    return polys
+
+
+@pytest.fixture(scope="module")
+def toy_precincts_df(spark):
+    rows = [(k, g.wkb) for k, g in enumerate(toy_precinct_polys())]
+    return spark.createDataFrame(rows, "id bigint, geometry binary")
+
+
+def test_kernel_repairs_overlap_pair():
+    a = Geometry.polygon([(0, 0), (3, 0), (3, 3), (0, 3)])
+    b = Geometry.polygon([(2, 0), (4, 0), (4, 2), (2, 2)])
+    rep = repair_items([(0, a), (1, b)])
+    assert abs(rep[0].area + rep[1].area - 11.0) < 1e-9  # footprint conserved
+    from maup_spark.geom.arrangement import intersection_area
+
+    assert intersection_area(rep[0], rep[1]) < 1e-12
+
+
+def test_smart_repair_toy_precincts(spark, toy_precincts_df):
+    """doctor(repaired) is True (/root/reference/tests/test_smart_repair.py:89-97)."""
+    before = doctor(toy_precincts_df, grid=GRID)
+    assert before["healthy"] is False  # fixture is intentionally dirty
+
+    repaired = smart_repair(toy_precincts_df, grid=GRID)
+    rows = repaired.collect()
+    assert len(rows) == 16
+    rep_df = spark.createDataFrame(rows, "id bigint, geometry binary")
+    after = doctor(rep_df, grid=GRID)
+    assert after["source_overlaps"] == 0
+    assert after["source_holes"] == 0
+    assert after["healthy"] is True
+
+    # footprint accounting: repaired union = original union + filled gaps
+    from maup_spark.operators.repair import holes_of_union, union_all_df
+
+    a0 = union_all_df(toy_precincts_df).area
+    gap_area = sum(
+        r["area"] for r in holes_of_union(toy_precincts_df).collect()
+    )
+    a1 = union_all_df(rep_df).area
+    assert abs(a1 - (a0 + gap_area)) < 1e-6
+
+
+def test_smart_repair_nest_within_regions(spark, toy_precincts_df):
+    """Each repaired precinct stays inside its county
+    (/root/reference/tests/test_smart_repair.py:99-109)."""
+    counties = spark.createDataFrame(
+        [
+            (0, sq_wkb(0, 0, 1, 1)),
+            (1, sq_wkb(1, 0, 2, 1)),
+            (2, sq_wkb(0, 1, 1, 2)),
+            (3, sq_wkb(1, 1, 2, 2)),
+        ],
+        "region_id bigint, geometry binary",
+    )
+    repaired = smart_repair(toy_precincts_df, regions=counties, grid=GRID)
+    county_geoms = {
+        r["region_id"]: Geometry.from_wkb(r["geometry"]) for r in counties.collect()
+    }
+    from maup_spark.geom.arrangement import intersection_area
+
+    for r in repaired.collect():
+        if r["geometry"] is None:
+            continue
+        g = Geometry.from_wkb(r["geometry"])
+        covered = any(
+            intersection_area(c, g) >= g.area - 1e-9 for c in county_geoms.values()
+        )
+        assert covered, f"precinct {r['id']} not nested in any county"
