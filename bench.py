@@ -82,7 +82,7 @@ def main() -> None:
         # run and make any parallelism look bad).
         import subprocess
 
-        ent_k = os.environ.get("SPARK_GRAFT_ENT_K", "4096")
+        ent_k = os.environ.get("SPARK_GRAFT_ENT_K", "16384")
         results = {}
         for n in (2, 8, 32):
             env = dict(

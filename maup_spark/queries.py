@@ -512,3 +512,93 @@ FROM g a JOIN g b
 """,
     }
 )
+
+
+# --------------------------------------------------------- repair queries
+
+
+def _dirty_nation_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately-dirty layer: 1.2-side squares on a 1.0 lattice keyed
+    by n_nationkey — every 8-neighborhood pair overlaps (repair fixtures)."""
+    from .geom.base import Geometry
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    rows = [
+        (
+            int(k),
+            Geometry.polygon(
+                [
+                    (k % 5, k // 5),
+                    (k % 5 + 1.2, k // 5),
+                    (k % 5 + 1.2, k // 5 + 1.2),
+                    (k % 5, k // 5 + 1.2),
+                ]
+            ).wkb,
+        )
+        for (k,) in nat.collect()
+    ]
+    return spark.createDataFrame(rows, "nation_id bigint, geometry binary")
+
+
+def q_doctor_dirty_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doctor() counts over the dirty lattice — closed-form oracle."""
+    from .operators.adjacencies import count_overlaps
+    from .operators.repair import count_holes
+
+    layer = _dirty_nation_layer(spark, sf_dir)
+    ov = count_overlaps(layer, id_col="nation_id")
+    nh = count_holes(layer)
+    return spark.createDataFrame(
+        [(ov, nh)], "n_overlaps bigint, n_holes bigint"
+    )
+
+
+def q_smart_repair_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smart_repair over the dirty lattice: per-geometry repaired area
+    (rounded).  Non-SQL-expressible -> rows-only driver check."""
+    from .operators.smart_repair import smart_repair
+    from .geom import vector as V
+
+    layer = _dirty_nation_layer(spark, sf_dir)
+    repaired = smart_repair(layer, id_col="nation_id")
+    area_udf = F.pandas_udf(V.batch_area, "double")
+    return repaired.select(
+        "nation_id", F.round(area_udf(F.col("geometry")), 6).alias("area")
+    )
+
+
+def q_resolve_overlaps_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resolve_overlaps over the dirty lattice (rows-only check)."""
+    from .operators.repair import resolve_overlaps
+    from .geom import vector as V
+
+    layer = _dirty_nation_layer(spark, sf_dir)
+    fixed = resolve_overlaps(layer, id_col="nation_id", relative_threshold=None)
+    area_udf = F.pandas_udf(V.batch_area, "double")
+    return fixed.select(
+        "nation_id", F.round(area_udf(F.col("geometry")), 6).alias("area")
+    )
+
+
+QUERIES.update(
+    {
+        "doctor_dirty_nations": q_doctor_dirty_nations,
+        "smart_repair_nations": q_smart_repair_nations,
+        "resolve_overlaps_nations": q_resolve_overlaps_nations,
+    }
+)
+
+ORACLES.update(
+    {
+        # every 8-neighbor pair of the 1.2-on-1.0 lattice overlaps with
+        # positive area; the lattice tiles a solid square -> no holes
+        "doctor_dirty_nations": """
+WITH g AS (SELECT n_nationkey AS id, n_nationkey % 5 AS gx,
+                  n_nationkey // 5 AS gy FROM nation)
+SELECT (SELECT COUNT(*) FROM g a JOIN g b
+         ON a.id < b.id AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
+       AS n_overlaps,
+       CAST(0 AS BIGINT) AS n_holes
+""",
+    }
+)
