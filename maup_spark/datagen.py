@@ -162,6 +162,19 @@ def source_rects_oracle_cte() -> str:
 def nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5×5 unit-square layer keyed by n_nationkey (adjacency fixture)."""
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
-    rows = [(int(k), _rect_wkb(k % 5, k // 5, k % 5 + 1, k // 5 + 1))
-            for (k,) in nat.collect()]
-    return spark.createDataFrame(rows, "nation_id bigint, geometry binary")
+    rows = [
+        (
+            int(k),
+            _rect_wkb(k % 5, k // 5, k % 5 + 1, k // 5 + 1),
+            float(k % 5),
+            float(k // 5),
+            float(k % 5 + 1),
+            float(k // 5 + 1),
+        )
+        for (k,) in nat.collect()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "nation_id bigint, geometry binary, "
+        "nxmin double, nymin double, nxmax double, nymax double",
+    )

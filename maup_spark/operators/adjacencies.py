@@ -39,6 +39,7 @@ def adjacencies(
     grid: CellGrid = DEFAULT_GRID,
     broadcast: bool = True,
     broadcast_geoms: bool = True,
+    bounds_cols: tuple | None = None,
 ) -> DataFrame:
     """Returns ``DataFrame[id_i, id_j, geometry, area, length]``.
 
@@ -49,21 +50,38 @@ def adjacencies(
     if adjacency_type not in ("rook", "queen"):
         raise ValueError('adjacency_type must be "rook" or "queen"')
 
-    base = geoms.select(F.col(id_col).alias("__gid"), F.col(geom_col).alias("__g"))
+    base = geoms.select(
+        F.col(id_col).alias("__gid"),
+        F.col(geom_col).alias("__g"),
+        *(bounds_cols or ()),
+    )
     bc = geom_broadcast(base, "__gid", "__g") if broadcast_geoms else None
 
     left = with_cell_cover(
-        base.select(F.col("__gid").alias("id_i"), F.col("__g").alias("__gi")),
+        base.select(
+            F.col("__gid").alias("id_i"),
+            F.col("__g").alias("__gi"),
+            *(bounds_cols or ()),
+        ),
         grid,
         geom_col="__gi",
         bounds_prefix="__i_",
+        bounds_cols=bounds_cols,
     )
     right = with_cell_cover(
-        base.select(F.col("__gid").alias("id_j"), F.col("__g").alias("__gj")),
+        base.select(
+            F.col("__gid").alias("id_j"),
+            F.col("__g").alias("__gj"),
+            *(bounds_cols or ()),
+        ),
         grid,
         geom_col="__gj",
         bounds_prefix="__j_",
+        bounds_cols=bounds_cols,
     )
+    if bounds_cols:
+        left = left.drop(*bounds_cols)
+        right = right.drop(*bounds_cols)
     if broadcast_geoms:
         left = left.drop("__gi")
         right = right.drop("__gj")

@@ -52,6 +52,7 @@ def assign_points(
     y: str = "lat",
     grid: CellGrid = DEFAULT_GRID,
     target_bounds: tuple | None = None,
+    targets_are_rects: bool = False,
     knn_fallback: bool = False,
     knn_coarsen: int = 3,
 ) -> DataFrame:
@@ -117,7 +118,7 @@ def assign_points(
         unmatched = out.filter(F.col(target_id).isNull()).select(point_id, x, y)
         near = _knn_points(
             unmatched, targets, point_id, target_id, x, y, grid,
-            target_bounds, knn_coarsen, bc,
+            target_bounds, knn_coarsen, bc, targets_are_rects,
         ).withColumnRenamed(target_id, "__knn_tid")
         out = (
             out.join(near, point_id, "left")
@@ -144,6 +145,7 @@ def _knn_points(
     target_bounds: tuple | None,
     coarsen: int,
     bc=None,
+    targets_are_rects: bool = False,
 ) -> DataFrame:
     """Nearest-target fallback for the unmatched minority.
 
@@ -191,13 +193,25 @@ def _knn_points(
         geom_col="__tgeom",
         bounds_cols=target_bounds,
     ).drop("__tgeom")
-    cand = pts.join(F.broadcast(tgt), "cell_id").dropDuplicates([point_id, "__tid"])
-    w = Window.partitionBy(point_id).orderBy("__dist", "__tid")
+    cand = pts.join(F.broadcast(tgt), "cell_id")
+    if targets_are_rects and target_bounds:
+        # rect targets: exact point→rect distance is codegen'd arithmetic
+        # (for general polygons the bbox distance is only a lower bound,
+        # so this path requires the caller's explicit assertion)
+        bx0, by0, bx1, by1 = (F.col(c) for c in target_bounds)
+        ddx = F.greatest(bx0 - F.col(x), F.col(x) - bx1, F.lit(0.0))
+        ddy = F.greatest(by0 - F.col(y), F.col(y) - by1, F.lit(0.0))
+        dist = F.sqrt(ddx * ddx + ddy * ddy)
+    else:
+        dist = dist_udf(F.col(x), F.col(y), F.col("__tid"))
+    # one partial-aggregating shuffle: min over (dist, tid) pairs is the
+    # argmin with the deterministic smallest-id tie-break; duplicated
+    # candidate rows (pair seen in several cells) are harmless under min
     return (
-        cand.withColumn("__dist", dist_udf(F.col(x), F.col(y), F.col("__tid")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(point_id, F.col("__tid").alias(target_id))
+        cand.withColumn("__dist", dist)
+        .groupBy(point_id)
+        .agg(F.min(F.struct("__dist", "__tid")).alias("__m"))
+        .select(point_id, F.col("__m.__tid").alias(target_id))
     )
 
 

@@ -64,6 +64,7 @@ def q_assign_points_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.districts(spark),
         point_id="entity_id",
         target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+        targets_are_rects=True,
         knn_fallback=True,
     ).select("entity_id", "district_id")
 
@@ -369,9 +370,11 @@ def q_adjacencies_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.adjacencies import adjacencies
 
     grid_layer = D.nation_grid(spark, sf_dir)
-    return adjacencies(grid_layer, id_col="nation_id").select(
-        "id_i", "id_j", "length"
-    )
+    return adjacencies(
+        grid_layer,
+        id_col="nation_id",
+        bounds_cols=("nxmin", "nymin", "nxmax", "nymax"),
+    ).select("id_i", "id_j", "length")
 
 
 QUERIES.update(
