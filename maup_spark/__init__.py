@@ -14,9 +14,25 @@ over Spark DataFrames with WKB geometry columns:
 
 from .index.cells import CellGrid
 from .geom.base import Geometry
+from .operators.adjacencies import adjacencies, count_overlaps, islands
 from .operators.assign import assign, assign_by_area, assign_points, assign_to_max
 from .operators.intersections import intersections, prorate
 from .operators.normalize import normalize
+from .operators.repair import (
+    absorb_by_shared_perimeter,
+    close_gaps,
+    count_holes,
+    crop_to,
+    doctor,
+    expand_to,
+    holes_of_union,
+    make_valid_df,
+    quick_repair,
+    remove_repeated_vertices,
+    resolve_overlaps,
+    snap_to_grid,
+)
+from .operators.smart_repair import smart_repair
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -24,12 +40,28 @@ __version__ = "0.1.0"
 __all__ = [
     "CellGrid",
     "Geometry",
+    "absorb_by_shared_perimeter",
+    "adjacencies",
     "assign",
     "assign_by_area",
     "assign_points",
     "assign_to_max",
+    "close_gaps",
+    "count_holes",
+    "count_overlaps",
+    "crop_to",
+    "doctor",
+    "expand_to",
     "get_spark",
+    "holes_of_union",
     "intersections",
+    "islands",
+    "make_valid_df",
     "normalize",
     "prorate",
+    "quick_repair",
+    "remove_repeated_vertices",
+    "resolve_overlaps",
+    "smart_repair",
+    "snap_to_grid",
 ]
