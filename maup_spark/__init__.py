@@ -15,7 +15,13 @@ over Spark DataFrames with WKB geometry columns:
 from .index.cells import CellGrid
 from .geom.base import Geometry
 from .operators.adjacencies import adjacencies, count_overlaps, islands
-from .operators.assign import assign, assign_by_area, assign_points, assign_to_max
+from .operators.assign import (
+    assign,
+    assign_by_area,
+    assign_by_covering,
+    assign_points,
+    assign_to_max,
+)
 from .operators.intersections import intersections, prorate
 from .operators.normalize import normalize
 from .operators.repair import (
@@ -44,6 +50,7 @@ __all__ = [
     "adjacencies",
     "assign",
     "assign_by_area",
+    "assign_by_covering",
     "assign_points",
     "assign_to_max",
     "close_gaps",

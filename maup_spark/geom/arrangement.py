@@ -415,6 +415,19 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
     adjacency semantics, /root/reference/maup/adjacencies.py:68-69)."""
     if _bbox_disjoint(a, b):
         return Geometry.empty()
+    ra, rb = _is_rect(a), _is_rect(b)
+    if ra and rb:
+        x0, y0 = max(ra[0], rb[0]), max(ra[1], rb[1])
+        x1, y1 = min(ra[2], rb[2]), min(ra[3], rb[3])
+        if x1 > x0 and y1 > y0:
+            return Geometry.polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+        if x1 == x0 and y1 > y0:
+            return Geometry.linestring([(x0, y0), (x0, y1)])
+        if y1 == y0 and x1 > x0:
+            return Geometry.linestring([(x0, y0), (x1, y0)])
+        if x1 == x0 and y1 == y0:
+            return Geometry.point(x0, y0)
+        return Geometry.empty()
     arr = build_arrangement([a, b])
     kept = lambda cov: cov >= {0, 1}
     poly = _dissolve(

@@ -283,6 +283,46 @@ def assign(
     )
 
 
+def assign_by_covering(
+    sources: DataFrame,
+    targets: DataFrame,
+    source_id: str = "source_id",
+    target_id: str = "target_id",
+    grid: CellGrid = DEFAULT_GRID,
+    source_bounds: tuple | None = None,
+    target_bounds: tuple | None = None,
+) -> DataFrame:
+    """Phase 1 alone: covered-by semi-join with the multi-cover drop
+    (/root/reference/maup/assign.py:40-42).  NULL target = not covered."""
+    src = sources.select(
+        F.col(source_id).alias("__sid"),
+        F.col("geometry").alias("__sgeom"),
+        *(source_bounds or ()),
+    )
+    tgt = targets.select(
+        F.col(target_id).alias("__tid"),
+        F.col("geometry").alias("__tgeom"),
+        *(target_bounds or ()),
+    )
+    bc = geom_broadcast(tgt, "__tid", "__tgeom")
+    cand = candidate_pairs(
+        src, tgt, grid, "__sgeom", "__tgeom",
+        source_bounds=source_bounds, target_bounds=target_bounds,
+        drop_target_geom=True,
+    )
+    covers_by_id = make_covers_by_id_udf(bc)
+    covered = (
+        cand.filter(covers_by_id(F.col("__tid"), F.col("__sgeom")))
+        .groupBy("__sid")
+        .agg(F.min("__tid").alias("__tid"), F.count("*").alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select(
+            F.col("__sid").alias(source_id), F.col("__tid").alias(target_id)
+        )
+    )
+    return sources.select(source_id).join(covered, source_id, "left")
+
+
 def assign_by_area(
     sources: DataFrame,
     targets: DataFrame,

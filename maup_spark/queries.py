@@ -605,3 +605,65 @@ SELECT (SELECT COUNT(*) FROM g a JOIN g b
 """,
     }
 )
+
+
+# ------------------------------------------------- relational aggregates
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type (the engine's
+    windowed-aggregation surface; exact decimal sums so distributed
+    summation order cannot flip the hash)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("win", F.date_trunc("hour", F.col("ts")))
+        .groupBy("win", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + grouped rollup: revenue per market segment and status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "events_windowed": q_events_windowed,
+        "orders_rollup": q_orders_rollup,
+    }
+)
+
+ORACLES.update(
+    {
+        "events_windowed": """
+SELECT date_trunc('hour', ts) AS win, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+""",
+        "orders_rollup": """
+SELECT c_mktsegment, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+""",
+    }
+)
