@@ -95,7 +95,10 @@ def assign_points(
         .groupBy(point_id)
         .agg(
             F.min("__hit").alias("__tid"),
-            F.count_distinct(F.col("__hit")).alias("__n"),
+            # a point occupies exactly ONE cell, so each target appears at
+            # most once per point: plain count == count distinct, without
+            # the expand+exchange a count_distinct would add to the plan
+            F.count("__hit").alias("__n"),
             F.first(x).alias(x),
             F.first(y).alias(y),
         )

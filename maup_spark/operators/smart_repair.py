@@ -109,6 +109,77 @@ def repair_items(
     return repaired
 
 
+def building_blocks_items(items: list[tuple]) -> list[tuple]:
+    """Planar partition of one group: atomic pieces tagged with the ids
+    of the covering inputs and their overlap degree (the reference's
+    building_blocks + overlap tower,
+    /root/reference/maup/smart_repair.py:523-748; degree 0 = gap).
+
+    Returns [(geometry, owner_ids, degree, area)] sorted by (degree,
+    owners) for deterministic piece ids downstream.
+    """
+    ids = [i for i, _ in items]
+    geoms = [make_valid(g) for _, g in items]
+    arr = build_arrangement(geoms)
+
+    def cover_of(x: float, y: float) -> frozenset:
+        return frozenset(k for k, g in enumerate(geoms) if g.contains_point(x, y))
+
+    out = []
+    cover_sets = {c.cover for c in arr.cycles if c.cover}
+    for S in cover_sets:
+        region = _dissolve(
+            arr, lambda cov, S=S: cov == S, lambda x, y, S=S: cover_of(x, y) == S
+        )
+        owners = sorted(ids[k] for k in S)
+        for rings in region.polygons():
+            piece = Geometry("Polygon", rings)
+            out.append((piece, owners, len(S), piece.area))
+    for hole in holes_of_union_geom(geoms):
+        out.append((hole, [], 0, hole.area))
+    out.sort(key=lambda t: (t[2], t[1], -t[3]))
+    return out
+
+
+def building_blocks(
+    geoms: DataFrame,
+    id_col: str = "id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Distributed piece table: one row per atomic planar piece.
+
+    Returns DataFrame[group, piece_id, geometry, owners array, degree,
+    area]; ``group_col`` partitions the work (per region/tile at scale;
+    one group otherwise)."""
+    work = geoms.select(id_col, "geometry").withColumn(
+        "__grp", F.col(group_col) if group_col else F.lit(0)
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        items = [
+            (i, Geometry.from_wkb(b)) for i, b in zip(pdf[id_col], pdf["geometry"])
+        ]
+        pieces = building_blocks_items(items)
+        return pd.DataFrame(
+            {
+                "group": [pdf["__grp"].iloc[0]] * len(pieces),
+                "piece_id": list(range(len(pieces))),
+                "geometry": [p.wkb for p, *_ in pieces],
+                "owners": [[str(o) for o in owners] for _, owners, _, _ in pieces],
+                "degree": [d for _, _, d, _ in pieces],
+                "area": [a for _, _, _, a in pieces],
+            }
+        )
+
+    return work.groupBy("__grp").applyInPandas(
+        run,
+        schema=(
+            "group bigint, piece_id bigint, geometry binary, "
+            "owners array<string>, degree int, area double"
+        ),
+    )
+
+
 def smart_repair(
     geoms: DataFrame,
     id_col: str = "id",

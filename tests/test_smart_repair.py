@@ -98,3 +98,38 @@ def test_smart_repair_nest_within_regions(spark, toy_precincts_df):
             intersection_area(c, g) >= g.area - 1e-9 for c in county_geoms.values()
         )
         assert covered, f"precinct {r['id']} not nested in any county"
+
+
+def test_building_blocks(spark):
+    """Piece table: 3×3 square + overlapping 2×2 square -> exclusive
+    pieces (deg 1), one overlap piece (deg 2)."""
+    from maup_spark.operators.smart_repair import building_blocks
+
+    df = spark.createDataFrame(
+        [(0, sq_wkb(0, 0, 3, 3)), (1, sq_wkb(2, 0, 4, 2))],
+        "id bigint, geometry binary",
+    )
+    pieces = building_blocks(df).collect()
+    by_degree = {}
+    for r in pieces:
+        by_degree.setdefault(r["degree"], []).append(r)
+    assert len(by_degree[2]) == 1
+    assert abs(by_degree[2][0]["area"] - 2.0) < 1e-9
+    assert set(by_degree[2][0]["owners"]) == {"0", "1"}
+    assert abs(sum(r["area"] for r in by_degree[1]) - (7.0 + 2.0)) < 1e-9
+    assert 0 not in by_degree  # no gaps in this layout
+
+
+def test_building_blocks_with_gap(spark):
+    from maup_spark.geom.base import Geometry
+    from maup_spark.operators.smart_repair import building_blocks
+
+    pac = Geometry.polygon(
+        [(0, 0), (0, 3), (2, 3), (2, 2), (1, 2), (1, 1), (2, 1), (2, 0)]
+    ).wkb
+    df = spark.createDataFrame(
+        [(0, pac), (1, sq_wkb(2, 0, 3, 3))], "id bigint, geometry binary"
+    )
+    pieces = building_blocks(df).collect()
+    gaps = [r for r in pieces if r["degree"] == 0]
+    assert len(gaps) == 1 and abs(gaps[0]["area"] - 1.0) < 1e-9
