@@ -51,12 +51,6 @@ KNOCKOUT = 7  # cells with (di + dj) % 7 == 0 do not exist
 # source rectangle half-extents
 RX, RY = 1.5, 1.0
 
-DISTRICT_ID_SQL = (
-    f"(CAST(FLOOR((lat + 90.0) / {D_H}) AS BIGINT) * {D_NX} "
-    f"+ CAST(FLOOR((lon + 180.0) / {D_W}) AS BIGINT))"
-)
-
-
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENT_K geotagged entities per document (maup's "blocks" role).
 
