@@ -32,16 +32,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE) -> DataFrame:
-    """Word-level k-shingles via posexplode + lead window."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    sh = F.col("w")
-    for i in range(1, k):
-        sh = F.concat(sh, F.lit(" "), F.lead("w", i).over(win))
-    return toks.select("doc_id", sh.alias("shingle")).filter(
-        F.col("shingle").isNotNull()
+    """Word-level k-shingles, fully JVM-side: slice over the token array
+    via ``transform(sequence(...))`` — no window shuffle, stays in
+    whole-stage codegen (a lead-window formulation costs a shuffle+sort
+    per doc)."""
+    # NB: Spark's sequence(0, n) counts DOWN when n < 0, so short docs
+    # must short-circuit to an empty array explicitly
+    return docs.selectExpr(
+        "doc_id",
+        f"""explode(
+              CASE WHEN size(split({text_col}, ' ')) >= {k}
+                   THEN transform(
+                          sequence(0, size(split({text_col}, ' ')) - {k}),
+                          i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))
+                   ELSE array()
+              END) AS shingle""",
     )
 
 
