@@ -84,12 +84,23 @@ def assign_points(
     # overlapping targets falls through to NULL (the reference drops
     # multi-covered sources, /root/reference/maup/indexed_geometries.py:58-71).
     cand = pts.join(F.broadcast(tgt), "cell_id", "left")
-    pip_by_id = make_pip_by_id_udf(bc)
-    hit_tid = F.when(
-        F.col("__tid").isNotNull()
-        & pip_by_id(F.col(x), F.col(y), F.col("__tid")),
-        F.col("__tid"),
-    )
+    if targets_are_rects and target_bounds:
+        # rect targets: PIP is codegen'd bounds arithmetic — the whole
+        # operator is JVM-only.  Closed bounds reproduce the reference's
+        # covers semantics exactly: a boundary point is covered by BOTH
+        # adjacent rects, so the multi-cover drop nulls it
+        # (/root/reference/maup/indexed_geometries.py:58-71)
+        bx0, by0, bx1, by1 = (F.col(c) for c in target_bounds)
+        inside = (
+            (F.col(x) >= bx0)
+            & (F.col(x) <= bx1)
+            & (F.col(y) >= by0)
+            & (F.col(y) <= by1)
+        )
+    else:
+        pip_by_id = make_pip_by_id_udf(bc)
+        inside = pip_by_id(F.col(x), F.col(y), F.col("__tid"))
+    hit_tid = F.when(F.col("__tid").isNotNull() & inside, F.col("__tid"))
     out = (
         cand.withColumn("__hit", hit_tid)
         .groupBy(point_id)

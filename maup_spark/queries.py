@@ -55,6 +55,7 @@ def q_assign_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.districts(spark),
         point_id="entity_id",
         target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+        targets_are_rects=True,
     ).select("entity_id", "district_id")
 
 
