@@ -10,7 +10,7 @@ MIN is engine-portable); shingles come from a window ``lead`` over
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_MINHASH = 8

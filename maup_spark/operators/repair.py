@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..geom.arrangement import holes_of_union_geom, union_all as _union_all
+from ..geom.arrangement import union_all as _union_all
 from ..geom.base import Geometry
 from ..index.cells import CellGrid
 from .assign import assign_to_max
