@@ -51,6 +51,49 @@ from ..index.cells import CellGrid
 from .spatial import DEFAULT_GRID
 
 
+def reattach_fragments(
+    repaired: dict, disconnection_threshold: float = 1e-4
+) -> dict:
+    """Post-pass: a geometry that came out disconnected keeps its main
+    component; small fragments (area < threshold × geometry area) move
+    to the neighbor sharing the most boundary (the reference's
+    disconnected-fragment cleanup, /root/reference/maup/smart_repair.py:330-485).
+    """
+    moves = []
+    for i, g in repaired.items():
+        polys = list(g.polygons())
+        if len(polys) <= 1:
+            continue
+        areas = [abs(Geometry("Polygon", rings).area) for rings in polys]
+        main = max(range(len(polys)), key=lambda k: areas[k])
+        total = sum(areas)
+        keep = [polys[main]]
+        for k, rings in enumerate(polys):
+            if k == main:
+                continue
+            if areas[k] < disconnection_threshold * total:
+                moves.append((i, Geometry("Polygon", rings)))
+            else:
+                keep.append(rings)
+        repaired[i] = (
+            Geometry("Polygon", keep[0])
+            if len(keep) == 1
+            else Geometry("MultiPolygon", keep)
+        )
+    for src_id, frag in moves:
+        best, best_len = None, 0.0
+        for j, g in repaired.items():
+            if j == src_id or g.is_empty:
+                continue
+            L = shared_boundary_length(frag, g)
+            if L > best_len or (L == best_len and best is not None and j < best):
+                best, best_len = j, L
+        if best is None or best_len <= 0:
+            best = src_id  # nothing adjacent: keep with the original
+        repaired[best] = union_all([repaired[best], frag])
+    return repaired
+
+
 def repair_items(
     items: list[tuple], fill_gaps: bool = True, fill_gaps_threshold: float | None = 0.1
 ) -> dict:
@@ -106,7 +149,7 @@ def repair_items(
                     continue
             best = min(sorted(neighbors), key=lambda i: (-neighbors[i], i))
             repaired[best] = union_all([repaired[best], hole])
-    return repaired
+    return reattach_fragments(repaired)
 
 
 def building_blocks_items(items: list[tuple]) -> list[tuple]:

@@ -126,7 +126,10 @@ def q_prorate_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_chars") * F.col("weight"), 9).cast("decimal(38,12)"),
         )
         .groupBy("district_id")
-        .agg(F.sum("term").cast("double").alias("n_chars_sum"))
+        # final cast stays DECIMAL: sums sit exactly on the 1e-9 grid, so
+        # decimal(38,9) is lossless and engine-exact (casting to DOUBLE
+        # rounds differently in Spark vs DuckDB at the last ulp)
+        .agg(F.sum("term").cast("decimal(38,9)").alias("n_chars_sum"))
     )
 
 
@@ -193,7 +196,7 @@ SELECT entity_id, district_id, area FROM pieces
     "prorate_nchars": f"""
 WITH {_PIECES_CTE}
 SELECT p.district_id,
-       CAST(SUM(CAST(ROUND(s.n_chars * (p.area / 6.0e0), 9) AS DECIMAL(38,12))) AS DOUBLE)
+       CAST(SUM(CAST(ROUND(s.n_chars * (p.area / 6.0e0), 9) AS DECIMAL(38,12))) AS DECIMAL(38,9))
          AS n_chars_sum
 FROM pieces p JOIN src s USING (entity_id)
 GROUP BY p.district_id
@@ -622,7 +625,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.round(F.col("value"), 2).cast("decimal(38,6)"))
-            .cast("double")
+            .cast("decimal(38,2)")
             .alias("value_sum"),
         )
     )
@@ -638,7 +641,7 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(38,6)"))
-            .cast("double")
+            .cast("decimal(38,2)")
             .alias("revenue"),
         )
     )
@@ -656,13 +659,13 @@ ORACLES.update(
         "events_windowed": """
 SELECT date_trunc('hour', ts) AS win, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS value_sum
 FROM events GROUP BY 1, 2
 """,
         "orders_rollup": """
 SELECT c_mktsegment, o_orderstatus,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
 """,

@@ -133,3 +133,22 @@ def test_building_blocks_with_gap(spark):
     pieces = building_blocks(df).collect()
     gaps = [r for r in pieces if r["degree"] == 0]
     assert len(gaps) == 1 and abs(gaps[0]["area"] - 1.0) < 1e-9
+
+
+def test_reattach_fragments():
+    """A tiny detached fragment moves to the neighbor sharing boundary."""
+    from maup_spark.operators.smart_repair import reattach_fragments
+
+    import numpy as np
+
+    main = [np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)])]
+    # detached sliver of geometry 0, sitting on b's FAR side
+    frag = [np.array([(2.0, 0.4), (2.001, 0.4), (2.001, 0.6), (2.0, 0.6), (2.0, 0.4)])]
+    a = Geometry("MultiPolygon", [main, frag])
+    b = Geometry.polygon([(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0)])
+    out = reattach_fragments({0: a, 1: b}, disconnection_threshold=0.01)
+    # the fragment (2e-4 < 1% of a's area) leaves 0 and joins b, whose
+    # right edge it borders; a keeps exactly its main square
+    assert abs(out[0].area - 1.0) < 1e-12
+    assert out[0].gtype == "Polygon"
+    assert abs(out[1].area - 1.0002) < 1e-9
