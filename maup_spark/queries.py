@@ -671,3 +671,62 @@ GROUP BY 1, 2
 """,
     }
 )
+
+
+def q_raster_reconcile_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile↔vector reconciliation (north_star): per-cell coverage
+    of the dirty 1.2-on-1.0 lattice on a unit-cell grid."""
+    from .index.cells import CellGrid
+    from .operators.raster import rasterize_coverage
+
+    grid = CellGrid(x0=0, y0=0, x1=8, y1=8, res=3)
+    layer = _dirty_nation_layer(spark, sf_dir).selectExpr(
+        "nation_id",
+        "geometry",
+        "CAST(nation_id % 5 AS DOUBLE) AS bx0",
+        "CAST(nation_id DIV 5 AS DOUBLE) AS by0",
+        "CAST(nation_id % 5 AS DOUBLE) + 1.2e0 AS bx1",
+        "CAST(nation_id DIV 5 AS DOUBLE) + 1.2e0 AS by1",
+    )
+    cov = rasterize_coverage(
+        layer,
+        id_col="nation_id",
+        grid=grid,
+        bounds_cols=("bx0", "by0", "bx1", "by1"),
+        geoms_are_rects=True,
+    )
+    return cov.groupBy("cell_id").agg(
+        F.round(F.sum("cell_frac"), 9).alias("coverage"),
+        F.count("*").alias("n_geoms"),
+    )
+
+
+QUERIES["raster_reconcile_nations"] = q_raster_reconcile_nations
+
+ORACLES["raster_reconcile_nations"] = """
+WITH g AS (
+  SELECT n_nationkey AS id,
+         CAST(n_nationkey % 5 AS DOUBLE) AS bx0,
+         CAST(n_nationkey // 5 AS DOUBLE) AS by0,
+         CAST(n_nationkey % 5 AS DOUBLE) + 1.2e0 AS bx1,
+         CAST(n_nationkey // 5 AS DOUBLE) + 1.2e0 AS by1
+  FROM nation
+),
+cells AS (
+  SELECT cy * 8 + cx AS cell_id,
+         CAST(cx AS DOUBLE) AS cx0, CAST(cy AS DOUBLE) AS cy0,
+         CAST(cx AS DOUBLE) + 1.0e0 AS cx1, CAST(cy AS DOUBLE) + 1.0e0 AS cy1
+  FROM (SELECT UNNEST(RANGE(0, 8)) AS cx)
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS cy)
+),
+ov AS (
+  SELECT c.cell_id,
+         (LEAST(g.bx1, c.cx1) - GREATEST(g.bx0, c.cx0))
+       * (LEAST(g.by1, c.cy1) - GREATEST(g.by0, c.cy0)) AS a
+  FROM cells c JOIN g
+    ON LEAST(g.bx1, c.cx1) > GREATEST(g.bx0, c.cx0)
+   AND LEAST(g.by1, c.cy1) > GREATEST(g.by0, c.cy0)
+)
+SELECT cell_id, ROUND(SUM(a / 1.0e0), 9) AS coverage, COUNT(*) AS n_geoms
+FROM ov GROUP BY cell_id
+"""
