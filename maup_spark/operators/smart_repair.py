@@ -26,8 +26,11 @@ Distribution: groups are independent — one Spark task per region (with
 ``regions``) or per connected cluster; inside a group the kernel is
 pure-Python geometry (smart_repair is inherently sequential within a
 component, /root/reference/maup/smart_repair.py:751-969 — the reference
-concedes the same).  Not ported: small_rook_to_queen and the
-disconnected-fragment pass (see SURVEY.md §7.1 M5).
+concedes the same).  Also covered: the disconnected-fragment pass
+(``reattach_fragments``) and ``small_rook_to_queen`` (iterated disk
+reassignment).  Not ported: the queue-internal sub-kernels
+(convexify/funnel shortest paths) the arrangement formulation makes
+unnecessary.
 """
 
 from __future__ import annotations
@@ -95,7 +98,10 @@ def reattach_fragments(
 
 
 def repair_items(
-    items: list[tuple], fill_gaps: bool = True, fill_gaps_threshold: float | None = 0.1
+    items: list[tuple],
+    fill_gaps: bool = True,
+    fill_gaps_threshold: float | None = 0.1,
+    min_rook_length: float | None = None,
 ) -> dict:
     """Repair one group: items = [(id, Geometry)]; returns {id: Geometry}."""
     ids = [i for i, _ in items]
@@ -149,7 +155,10 @@ def repair_items(
                     continue
             best = min(sorted(neighbors), key=lambda i: (-neighbors[i], i))
             repaired[best] = union_all([repaired[best], hole])
-    return reattach_fragments(repaired)
+    repaired = reattach_fragments(repaired)
+    if min_rook_length is not None:
+        repaired = small_rook_to_queen(repaired, min_rook_length)
+    return repaired
 
 
 def building_blocks_items(items: list[tuple]) -> list[tuple]:
@@ -223,6 +232,118 @@ def building_blocks(
     )
 
 
+def _regular_ngon(cx: float, cy: float, r: float, n: int = 16) -> Geometry:
+    import math as _m
+
+    pts = [
+        (cx + r * _m.cos(2 * _m.pi * k / n), cy + r * _m.sin(2 * _m.pi * k / n))
+        for k in range(n)
+    ]
+    return Geometry.polygon(pts)
+
+
+def _shared_arc_midpoint(a: Geometry, b: Geometry):
+    """Midpoint of the longest collinear boundary overlap between a and b
+    (None if boundaries don't overlap)."""
+    from ..geom.arrangement import _node, _segments_of
+    import math as _m
+
+    segs = _segments_of(a, 0) + _segments_of(b, 1)
+    edges = _node(segs)
+    best, best_len = None, 0.0
+    for (u, v), tags in edges.items():
+        if tags >= {0, 1}:
+            L = _m.hypot(v[0] - u[0], v[1] - u[1])
+            if L > best_len:
+                best, best_len = (0.5 * (u[0] + v[0]), 0.5 * (u[1] + v[1])), L
+    return best
+
+
+def small_rook_to_queen(
+    repaired: dict, min_rook_length: float, max_rounds: int = 6
+) -> dict:
+    """Iterate the disk pass to a fixed point: each round can itself
+    create new short contacts where a disk boundary lands near an
+    existing junction (the reference's queue machinery re-processes
+    for the same reason)."""
+    for _ in range(max_rounds):
+        before = _short_pairs(repaired, min_rook_length)
+        if not before:
+            return repaired
+        repaired = _small_rook_round(repaired, min_rook_length)
+        after = _short_pairs(repaired, min_rook_length)
+        if not after:
+            return repaired
+    return repaired
+
+
+def _short_pairs(repaired: dict, min_rook_length: float) -> list:
+    ids = sorted(repaired)
+    out = []
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            i, j = ids[ai], ids[bi]
+            gi, gj = repaired[i], repaired[j]
+            if gi.is_empty or gj.is_empty:
+                continue
+            L = shared_boundary_length(gi, gj)
+            if 0.0 < L < min_rook_length:
+                out.append((i, j, L))
+    return out
+
+
+def _small_rook_round(repaired: dict, min_rook_length: float) -> dict:
+    """Eliminate sub-threshold rook adjacencies (simplified variant of
+    /root/reference/maup/smart_repair.py:1920-2155): cover each short
+    shared arc with a 16-gon "disk" (radius 0.55×threshold² padded to
+    clear the arc), give the disk∩footprint to the neighbor sharing the
+    most boundary with it, subtract it from everyone else.  The old
+    short contact becomes an arc of length ~πr > threshold, so one pass
+    suffices; the partition property (no gaps/overlaps) is preserved
+    because the disk region moves atomically."""
+    ids = sorted(repaired)
+    # find short rook arcs
+    disks = []
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            i, j = ids[ai], ids[bi]
+            gi, gj = repaired[i], repaired[j]
+            if gi.is_empty or gj.is_empty:
+                continue
+            L = shared_boundary_length(gi, gj)
+            if 0.0 < L < min_rook_length:
+                mid = _shared_arc_midpoint(gi, gj)
+                if mid is not None:
+                    r = max(0.6 * L, 0.55 * min_rook_length)
+                    disks.append(_regular_ngon(mid[0], mid[1], r))
+    if not disks:
+        return repaired
+    # merge overlapping disks into blobs
+    blob_union = union_all(disks)
+    blobs = [Geometry("Polygon", rings) for rings in blob_union.polygons()]
+    for blob in blobs:
+        # the blob's share of the current footprint
+        pieces = [
+            (i, repaired[i].intersection(blob))
+            for i in ids
+            if not repaired[i].is_empty
+        ]
+        pieces = [(i, p) for i, p in pieces if p.area > 0]
+        if not pieces:
+            continue
+        # owner: geometry sharing the most boundary with the blob ring
+        owner = min(
+            (i for i, _ in pieces),
+            key=lambda i: (-shared_boundary_length(repaired[i], blob), i),
+        )
+        moved = union_all([p for _, p in pieces])
+        for i, _ in pieces:
+            if i != owner:
+                repaired[i] = repaired[i].difference(blob)
+        repaired[owner] = union_all([repaired[owner], moved])
+    return repaired
+
+
 def smart_repair(
     geoms: DataFrame,
     id_col: str = "id",
@@ -230,6 +351,7 @@ def smart_repair(
     region_id: str = "region_id",
     fill_gaps: bool = True,
     fill_gaps_threshold: float | None = 0.1,
+    min_rook_length: float | None = None,
     grid: CellGrid = DEFAULT_GRID,
 ) -> DataFrame:
     """Distributed smart_repair.
@@ -272,7 +394,7 @@ def smart_repair(
                     g = g.intersection(clip)
                     g = union_all([Geometry("Polygon", r) for r in g.polygons()])
                 items.append((i, g))
-            rep = repair_items(items, fill_gaps, fill_gaps_threshold)
+            rep = repair_items(items, fill_gaps, fill_gaps_threshold, min_rook_length)
             return pd.DataFrame(
                 {
                     id_col: list(rep),
@@ -288,7 +410,7 @@ def smart_repair(
         items = [
             (i, Geometry.from_wkb(b)) for i, b in zip(pdf[id_col], pdf["geometry"])
         ]
-        rep = repair_items(items, fill_gaps, fill_gaps_threshold)
+        rep = repair_items(items, fill_gaps, fill_gaps_threshold, min_rook_length)
         return pd.DataFrame(
             {
                 id_col: list(rep),

@@ -152,3 +152,23 @@ def test_reattach_fragments():
     assert abs(out[0].area - 1.0) < 1e-12
     assert out[0].gtype == "Polygon"
     assert abs(out[1].area - 1.0002) < 1e-9
+
+
+def test_small_rook_to_queen(spark, toy_precincts_df):
+    """/root/reference/tests/test_smart_repair.py:111-118: basic repair
+    leaves sub-0.05 rook edges; min_rook_length=0.05 eliminates them."""
+    from maup_spark.operators.adjacencies import adjacencies
+    from maup_spark.operators.smart_repair import smart_repair
+
+    basic = smart_repair(toy_precincts_df, grid=GRID)
+    basic_df = spark.createDataFrame(basic.collect(), "id bigint, geometry binary")
+    lens = [r["length"] for r in adjacencies(basic_df, grid=GRID).collect()]
+    assert min(lens) < 0.05  # the jittered fixture produces short edges
+
+    srtq = smart_repair(toy_precincts_df, min_rook_length=0.05, grid=GRID)
+    srtq_df = spark.createDataFrame(srtq.collect(), "id bigint, geometry binary")
+    lens2 = [r["length"] for r in adjacencies(srtq_df, grid=GRID).collect()]
+    assert min(lens2) > 0.05, f"min rook length still {min(lens2)}"
+    # still a clean partition
+    after = doctor(srtq_df, grid=GRID)
+    assert after["source_overlaps"] == 0
