@@ -63,11 +63,15 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", max_bucket: int | None = None
+) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band
     (band = concatenation of 2 consecutive minhashes).  Equi-join on
     (band, key) — the scalable shape; bucket sizes bound the quadratic
-    work."""
+    work.  ``max_bucket`` drops runaway buckets (boilerplate shingle
+    sets at web scale) before the self-join — a quadratic-blowup guard;
+    None keeps every bucket (exact LSH semantics, the default)."""
     mh = minhash_signatures(docs, text_col)
     bands = None
     for b in range(N_BANDS):
@@ -77,6 +81,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("key"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("__bn", F.count("*").over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = bands.alias("a")
     c = bands.alias("b")
     return (

@@ -76,3 +76,42 @@ def streaming_assign_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_windowed_events(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    ),
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+):
+    """Watermarked event-time tumbling-window aggregation over an event
+    stream — the engine's late-data surface.  Append mode: a window is
+    emitted once the watermark passes it (exactly-once via checkpoint).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

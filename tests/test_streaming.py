@@ -46,3 +46,53 @@ def test_streaming_assign_matches_batch(spark, sf_dir, tmp_path):
     g = {r["district_id"]: r["n_points"] for r in got.collect()}
     w = {r["district_id"]: r["n_points"] for r in want.collect()}
     assert g == w
+
+
+def test_streaming_windowed_events_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked tumbling windows (append mode): closed windows match
+    the batch aggregation exactly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from maup_spark.streaming.assign_stream import streaming_windowed_events
+
+    src = str(tmp_path / "ev")
+    shutil.copytree(sf_dir, src, ignore=shutil.ignore_patterns("*"))
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+
+    q = streaming_windowed_events(
+        spark, src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(tmp_path / "out"),
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+    want = {(r["win_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    # append mode holds back windows newer than the watermark; everything
+    # emitted must match batch, and most windows must have been emitted
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 10  # only the tail can be held back
+
+
+def test_lsh_bucket_cap(spark, sf_dir):
+    from maup_spark.functions.dedup import minhash_lsh_pairs
+    from maup_spark.queries import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    uncapped = minhash_lsh_pairs(corpus).count()
+    capped = minhash_lsh_pairs(corpus, max_bucket=50).count()
+    assert capped <= uncapped
+    assert capped > 0  # duplicate pairs live in small buckets -> survive
