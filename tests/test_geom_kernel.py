@@ -166,3 +166,14 @@ def test_make_valid_bowtie():
     mv = bowtie.buffer0()
     assert abs(mv.area - 2.0) < 1e-9  # two triangles of area 1 each
     assert mv.gtype == "MultiPolygon"
+
+
+def test_media_decode_is_stubbed():
+    """The decode step must fail loudly (no codec libs in this env) while
+    the surrounding plumbing stays real (see functions/multimodal.py)."""
+    import pytest
+
+    from maup_spark.functions.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="stubbed"):
+        decode_media(b"\x00\x01", "image")
