@@ -6,9 +6,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <docs/sec of assign+prorate e2e>,
    "unit": "docs/sec", "queries": {name: sec, ...}, "sf": ...}
 
-Scaling-efficiency protocol (north_rule): run this twice,
-SPARK_GRAFT_CPUS=8 and =32, on the same input; efficiency =
-(t_8 / t_32) / 4.  ``--scaling`` automates both runs.
+Scaling-efficiency protocol (north_rule): the same job at three
+parallelism levels (local[2]/local[8]/local[32]) on identical input,
+min-of-repeats per level; N->4N efficiency pairs are (t2/t8)/4 and
+(t8/t32)/4.  ``--scaling`` automates all runs (see BENCH.md).
 """
 
 from __future__ import annotations
