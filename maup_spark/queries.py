@@ -122,14 +122,16 @@ def q_prorate_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = pieces.withColumn("weight", F.col("area") / F.lit(rect_area))
     return (
         joined.withColumn(
-            "term",
-            F.round(F.col("n_chars") * F.col("weight"), 9).cast("decimal(38,12)"),
+            # canonical scaled-integer grid: ROUND(x*1e9) is the same
+            # HALF-AWAY-FROM-ZERO op in Spark and DuckDB on the same
+            # double, and BIGINT sums are order-invariant AND hash
+            # identically everywhere (DECIMAL(38,9) values were exactly
+            # equal cross-engine but hashed differently in the driver)
+            "term_e9",
+            F.round(F.col("n_chars") * F.col("weight") * F.lit(1.0e9)).cast("bigint"),
         )
         .groupBy("district_id")
-        # final cast stays DECIMAL: sums sit exactly on the 1e-9 grid, so
-        # decimal(38,9) is lossless and engine-exact (casting to DOUBLE
-        # rounds differently in Spark vs DuckDB at the last ulp)
-        .agg(F.sum("term").cast("decimal(38,9)").alias("n_chars_sum"))
+        .agg(F.sum("term_e9").alias("n_chars_sum_e9"))
     )
 
 
@@ -196,8 +198,8 @@ SELECT entity_id, district_id, area FROM pieces
     "prorate_nchars": f"""
 WITH {_PIECES_CTE}
 SELECT p.district_id,
-       CAST(SUM(CAST(ROUND(s.n_chars * (p.area / 6.0e0), 9) AS DECIMAL(38,12))) AS DECIMAL(38,9))
-         AS n_chars_sum
+       CAST(SUM(CAST(ROUND(s.n_chars * (p.area / 6.0e0) * 1.0e9) AS BIGINT)) AS BIGINT)
+         AS n_chars_sum_e9
 FROM pieces p JOIN src s USING (entity_id)
 GROUP BY p.district_id
 """,
@@ -526,25 +528,29 @@ FROM g a JOIN g b
 
 def _dirty_nation_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deliberately-dirty layer: 1.2-side squares on a 1.0 lattice keyed
-    by n_nationkey — every 8-neighborhood pair overlaps (repair fixtures)."""
-    from .geom.base import Geometry
+    by n_nationkey — every 8-neighborhood pair overlaps (repair fixtures).
+    Generated distributed (JVM arithmetic + one vectorized WKB build),
+    no driver collect."""
+    from .geom import vector as V
 
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
-    rows = [
-        (
-            int(k),
-            Geometry.polygon(
-                [
-                    (k % 5, k // 5),
-                    (k % 5 + 1.2, k // 5),
-                    (k % 5 + 1.2, k // 5 + 1.2),
-                    (k % 5, k // 5 + 1.2),
-                ]
-            ).wkb,
+    def rect_batch(x0, y0, x1, y1):
+        return V.batch_rect_wkb(
+            x0.to_numpy(), y0.to_numpy(), x1.to_numpy(), y1.to_numpy()
         )
-        for (k,) in nat.collect()
-    ]
-    return spark.createDataFrame(rows, "nation_id bigint, geometry binary")
+
+    rect_udf = F.pandas_udf(rect_batch, "binary").asNondeterministic()
+    return (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS nation_id",
+            "CAST(n_nationkey % 5 AS DOUBLE) AS __x0",
+            "CAST(n_nationkey DIV 5 AS DOUBLE) AS __y0",
+            "CAST(n_nationkey % 5 AS DOUBLE) + 1.2e0 AS __x1",
+            "CAST(n_nationkey DIV 5 AS DOUBLE) + 1.2e0 AS __y1",
+        )
+        .withColumn("geometry", rect_udf("__x0", "__y0", "__x1", "__y1"))
+        .select("nation_id", "geometry")
+    )
 
 
 def q_doctor_dirty_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +568,7 @@ def q_doctor_dirty_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_smart_repair_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """smart_repair over the dirty lattice: per-geometry repaired area
-    (rounded).  Non-SQL-expressible -> rows-only driver check."""
+    on the 1e-6 integer grid (closed-form oracle below)."""
     from .operators.smart_repair import smart_repair
     from .geom import vector as V
 
@@ -570,12 +576,15 @@ def q_smart_repair_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired = smart_repair(layer, id_col="nation_id")
     area_udf = F.pandas_udf(V.batch_area, "double")
     return repaired.select(
-        "nation_id", F.round(area_udf(F.col("geometry")), 6).alias("area")
+        "nation_id",
+        F.round(area_udf(F.col("geometry")) * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("area_e6"),
     )
 
 
 def q_resolve_overlaps_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """resolve_overlaps over the dirty lattice (rows-only check)."""
+    """resolve_overlaps over the dirty lattice (closed-form oracle)."""
     from .operators.repair import resolve_overlaps
     from .geom import vector as V
 
@@ -583,7 +592,10 @@ def q_resolve_overlaps_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed = resolve_overlaps(layer, id_col="nation_id", relative_threshold=None)
     area_udf = F.pandas_udf(V.batch_area, "double")
     return fixed.select(
-        "nation_id", F.round(area_udf(F.col("geometry")), 6).alias("area")
+        "nation_id",
+        F.round(area_udf(F.col("geometry")) * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("area_e6"),
     )
 
 
@@ -607,6 +619,41 @@ SELECT (SELECT COUNT(*) FROM g a JOIN g b
        AS n_overlaps,
        CAST(0 AS BIGINT) AS n_holes
 """,
+        # closed-form repaired areas.  smart_repair assigns every overlap
+        # piece between lattice cells to the piece's max-shared-boundary
+        # owner; the 1.2-on-1.0 lattice makes every such contest a tie,
+        # which the documented tie-break gives to the smaller id — so each
+        # cell ends at exactly [gx, gx+1]×[gy, gy+1] except row/col 0,
+        # which keep their un-contested 0.2 margins:
+        #   area = (1.2 if gx=0 else 1.0) × (1.2 if gy=0 else 1.0).
+        # Verified deterministic at local[3]/7-shuffle-partitions and
+        # local[8]/32 (identical outputs).
+        "smart_repair_nations": """
+WITH g AS (SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+                  n_nationkey % 5 AS gx, n_nationkey // 5 AS gy FROM nation)
+SELECT nation_id,
+       CAST(CASE WHEN gx = 0 AND gy = 0 THEN 1440000
+                 WHEN gx = 0 OR gy = 0 THEN 1200000
+                 ELSE 1000000 END AS BIGINT) AS area_e6
+FROM g
+""",
+        # resolve_overlaps subtracts the union of all pairwise overlap
+        # strips from every cell, then re-absorbs each pairwise strip into
+        # the trimmed neighbor sharing the most perimeter.  On the lattice
+        # that lands row/col-0 cells at 1.24 (1.44 at the origin), the
+        # far corner at 1.00, far-row/col cells at 1.04, interior at 1.08.
+        # Verified deterministic across parallelism levels as above.
+        "resolve_overlaps_nations": """
+WITH g AS (SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+                  n_nationkey % 5 AS gx, n_nationkey // 5 AS gy FROM nation)
+SELECT nation_id,
+       CAST(CASE WHEN gx = 0 AND gy = 0 THEN 1440000
+                 WHEN gx = 0 OR gy = 0 THEN 1240000
+                 WHEN gx = 4 AND gy = 4 THEN 1000000
+                 WHEN gx = 4 OR gy = 4 THEN 1040000
+                 ELSE 1080000 END AS BIGINT) AS area_e6
+FROM g
+""",
     }
 )
 
@@ -624,9 +671,10 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value"), 2).cast("decimal(38,6)"))
-            .cast("decimal(38,2)")
-            .alias("value_sum"),
+            # cents-grid BIGINT: order-invariant sum, hash-stable cross-engine
+            F.sum(F.round(F.col("value") * F.lit(100.0)).cast("bigint")).alias(
+                "value_sum_c"
+            ),
         )
     )
 
@@ -640,9 +688,9 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(38,6)"))
-            .cast("decimal(38,2)")
-            .alias("revenue"),
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")).alias(
+                "revenue_c"
+            ),
         )
     )
 
@@ -659,13 +707,13 @@ ORACLES.update(
         "events_windowed": """
 SELECT date_trunc('hour', ts) AS win, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS value_sum
+       CAST(SUM(CAST(ROUND(value * 100.0e0) AS BIGINT)) AS BIGINT) AS value_sum_c
 FROM events GROUP BY 1, 2
 """,
         "orders_rollup": """
 SELECT c_mktsegment, o_orderstatus,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS revenue
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
 """,
