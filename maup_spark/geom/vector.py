@@ -182,6 +182,31 @@ def batch_rect_wkb(x0, y0, x1, y1) -> pd.Series:
     return pd.Series([flat[i * L : (i + 1) * L] for i in range(n)])
 
 
+_TRI_WKB_LEN = 1 + 4 + 4 + 4 + 4 * 16  # LE polygon, 1 ring, 4 points
+_TRI_HDR_ARR = np.frombuffer(
+    b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x04\x00\x00\x00", dtype=np.uint8
+)
+
+
+def batch_tri_wkb(ax, ay, s: float) -> pd.Series:
+    """Bulk-build lower-left right triangles (legs ``s`` along the axes,
+    hypotenuse slope -1): ring (ax,ay) (ax+s,ay) (ax,ay+s) (ax,ay).
+    One (N, 77) uint8 buffer, CCW — the non-rect probe layer for
+    arrangement-kernel oracle queries."""
+    n = len(ax)
+    raw = np.empty((n, _TRI_WKB_LEN), dtype=np.uint8)
+    raw[:, :13] = _TRI_HDR_ARR
+    coords = np.empty((n, 8))
+    coords[:, 0], coords[:, 1] = ax, ay
+    coords[:, 2], coords[:, 3] = ax + s, ay
+    coords[:, 4], coords[:, 5] = ax, ay + s
+    coords[:, 6], coords[:, 7] = ax, ay
+    raw[:, 13:] = coords.astype("<f8").view(np.uint8).reshape(n, 64)
+    flat = raw.tobytes()
+    L = _TRI_WKB_LEN
+    return pd.Series([flat[i * L : (i + 1) * L] for i in range(n)])
+
+
 def batch_covers(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.Series:
     """a covers b, per row.  Rect pairs reduce to bbox containment."""
     ra = batch_rect_bounds_arr(a_wkbs)

@@ -372,6 +372,74 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intersections_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrangement-kernel oracle: right triangles × a 2° cell lattice
+    through the GENERAL polygon overlay (``rect_layers=False`` — every
+    pair runs the planar-arrangement boolean kernel, not the LEAST/
+    GREATEST rect fast path).
+
+    Determinism design: triangle anchors snap to a quarter-degree
+    lattice (``FLOOR(lon*4)/4`` — dyadic, bit-identical in Spark and
+    DuckDB) and legs are 2.5 with slope -1 hypotenuses, so every
+    intersection area is an exact multiple of 1/32; the kernel's
+    float noise (~1e-12) disappears under ROUND(area*32).  The oracle
+    integrates the clipped triangle in closed form (piecewise trapezoid
+    under the hypotenuse).
+    """
+    from .geom import vector as V
+
+    tri_udf = F.pandas_udf(
+        lambda a, b: V.batch_tri_wkb(a.to_numpy(), b.to_numpy(), 2.5), "binary"
+    ).asNondeterministic()
+    rect_udf = F.pandas_udf(
+        lambda a, b, c, d: V.batch_rect_wkb(
+            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy()
+        ),
+        "binary",
+    ).asNondeterministic()
+
+    tri = (
+        D.points(spark, sf_dir)
+        .filter(F.col("entity_id") % 64 == 0)  # one triangle per document
+        .selectExpr(
+            "entity_id",
+            "FLOOR(lon * 4.0e0) / 4.0e0 AS ax",
+            "FLOOR(lat * 4.0e0) / 4.0e0 AS ay",
+        )
+        .withColumn("geometry", tri_udf("ax", "ay"))
+        .selectExpr(
+            "entity_id", "geometry",
+            "ax AS sx0", "ay AS sy0", "ax + 2.5e0 AS sx1", "ay + 2.5e0 AS sy1",
+        )
+    )
+    cells = (
+        spark.range(180 * 90)
+        .selectExpr(
+            "id AS cell_id",
+            "CAST((id % 180) * 2 - 180 AS DOUBLE) AS cx0",
+            "CAST((id DIV 180) * 2 - 90 AS DOUBLE) AS cy0",
+            "CAST((id % 180) * 2 - 178 AS DOUBLE) AS cx1",
+            "CAST((id DIV 180) * 2 - 88 AS DOUBLE) AS cy1",
+        )
+        .withColumn("geometry", rect_udf("cx0", "cy0", "cx1", "cy1"))
+    )
+    ix = intersections(
+        tri,
+        cells,
+        source_id="entity_id",
+        target_id="cell_id",
+        source_bounds=("sx0", "sy0", "sx1", "sy1"),
+        target_bounds=("cx0", "cy0", "cx1", "cy1"),
+        rect_layers=False,
+        keep_geometry=True,
+    )
+    return ix.select(
+        "entity_id",
+        "cell_id",
+        F.round(F.col("area") * F.lit(32.0)).cast("bigint").alias("area_x32"),
+    ).filter(F.col("area_x32") >= 1)
+
+
 def q_adjacencies_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.adjacencies import adjacencies
 
@@ -397,6 +465,7 @@ QUERIES.update(
         "pages_extract": q_pages_extract,
         "media_features": q_media_features,
         "adjacencies_nations": q_adjacencies_nations,
+        "intersections_triangles": q_intersections_triangles,
     }
 )
 
@@ -518,6 +587,50 @@ WITH g AS (SELECT n_nationkey AS id, n_nationkey % 5 AS gx,
 SELECT a.id AS id_i, b.id AS id_j, 1.0e0 AS length
 FROM g a JOIN g b
   ON a.id < b.id AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+""",
+        # closed-form area of (lower-left right triangle ∩ axis rect):
+        # integrate min(cy1, H - x) - yb over the x-overlap, split at the
+        # hypotenuse crossings a = H - cy1, b = H - yb (clamped).  All
+        # inputs are dyadic rationals (quarters), so every term — the
+        # rect part, the trapezoid (H-yb)(b-a) - (b²-a²)/2 — is exact in
+        # IEEE doubles and area*32 is an exact integer on both engines.
+        "intersections_triangles": f"""
+WITH pts AS ({D.points_oracle_cte()}),
+tris AS (
+  SELECT entity_id, FLOOR(lon * 4.0e0) / 4.0e0 AS ax,
+         FLOOR(lat * 4.0e0) / 4.0e0 AS ay
+  FROM pts WHERE entity_id % 64 = 0
+),
+cells AS (
+  SELECT cy * 180 + cx AS cell_id,
+         CAST(cx * 2 - 180 AS DOUBLE) AS cx0, CAST(cy * 2 - 90 AS DOUBLE) AS cy0,
+         CAST(cx * 2 - 178 AS DOUBLE) AS cx1, CAST(cy * 2 - 88 AS DOUBLE) AS cy1
+  FROM (SELECT UNNEST(RANGE(0, 180)) AS cx)
+  CROSS JOIN (SELECT UNNEST(RANGE(0, 90)) AS cy)
+),
+pairs AS (
+  SELECT t.entity_id, c.cell_id,
+         GREATEST(c.cx0, t.ax) AS u0, LEAST(c.cx1, t.ax + 2.5e0) AS u1,
+         GREATEST(c.cy0, t.ay) AS yb, c.cy1 AS yt,
+         t.ax + t.ay + 2.5e0 AS H
+  FROM tris t JOIN cells c
+    ON c.cx1 > t.ax AND c.cx0 < t.ax + 2.5e0
+   AND c.cy1 > t.ay AND c.cy0 < t.ay + 2.5e0
+),
+clipped AS (
+  SELECT entity_id, cell_id, u0, u1, yb, yt, H,
+         GREATEST(u0, LEAST(u1, H - yt)) AS a,
+         GREATEST(u0, LEAST(u1, H - yb)) AS b
+  FROM pairs WHERE u1 > u0 AND yt > yb
+),
+areas AS (
+  SELECT entity_id, cell_id,
+         CAST(ROUND(((a - u0) * (yt - yb)
+                     + ((H - yb) * (b - a) - (b*b - a*a) / 2.0e0)) * 32.0e0)
+              AS BIGINT) AS area_x32
+  FROM clipped
+)
+SELECT entity_id, cell_id, area_x32 FROM areas WHERE area_x32 >= 1
 """,
     }
 )
