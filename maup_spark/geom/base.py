@@ -277,7 +277,10 @@ class Geometry:
             return False
         from .arrangement import intersection_area
 
-        return intersection_area(self, other) >= oa * (1.0 - 1e-9) - eps
+        # purely RELATIVE tolerance: an additive eps term would go
+        # negative for areas < eps, making empty intersections "cover"
+        # arbitrarily tiny slivers (disjoint-but-in-bbox false positives)
+        return intersection_area(self, other) >= oa * (1.0 - 1e-9)
 
     def _on_boundary(self, x: float, y: float, eps: float = 1e-12) -> bool:
         for rings in self.polygons():

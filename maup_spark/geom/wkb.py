@@ -97,7 +97,23 @@ class _Reader:
         little = buf[pos] == 1
         (code,) = struct.unpack_from(self._fmt(little, "I"), buf, pos + 1)
         self.pos = pos + 5
-        code = code & 0xFF  # strip any SRID/dimension flag bits
+        # EWKB (PostGIS) flag bits: Z=0x80000000, M=0x40000000,
+        # SRID=0x20000000.  Z/M carry extra coordinates we cannot
+        # silently drop -> reject; SRID carries a 4-byte payload that
+        # must be SKIPPED (consuming it as coordinates silently corrupts)
+        if code & 0xC0000000:
+            raise ValueError(
+                f"unsupported EWKB Z/M dimensionality (code 0x{code:08x}); "
+                "this engine is strictly 2-D"
+            )
+        if code & 0x20000000:
+            self.pos += 4  # skip the SRID payload
+            code &= ~0x20000000
+        if code >= 1000:  # ISO WKB Z(+1000)/M(+2000)/ZM(+3000) types
+            raise ValueError(
+                f"unsupported ISO WKB dimensionality (code {code}); "
+                "this engine is strictly 2-D"
+            )
         if code == WKB_POINT:
             (x, y) = struct.unpack_from(self._fmt(little, "dd"), buf, self.pos)
             self.pos += 16

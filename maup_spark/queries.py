@@ -165,27 +165,48 @@ ORACLES: dict[str, str] = {
 WITH pts AS ({D.points_oracle_cte()})
 SELECT entity_id, {_DISTRICT_OF_POINT} AS district_id FROM pts
 """,
+    # the kNN candidate set replicates the ENGINE's coarse ±1-cell ring
+    # exactly (assign._knn_points: 16×16 coarse grid, 22.5° × 11.25°
+    # cells, point ring unclamped-then-filtered, target covers clamped)
+    # rather than approximating it with a radius — so the parity gate
+    # holds for ANY target layer, not just ones with small gaps.
     "assign_points_knn": f"""
 WITH pts AS ({D.points_oracle_cte()}),
 d AS ({D.districts_oracle_cte()}),
 direct AS (SELECT entity_id, lon, lat, {_DISTRICT_OF_POINT} AS district_id FROM pts),
-un AS (SELECT entity_id, lon, lat FROM direct WHERE district_id IS NULL),
+un AS (
+  SELECT entity_id, lon, lat,
+         CAST(FLOOR((lon - (-180.0e0)) / 22.5e0) AS BIGINT) AS ix,
+         CAST(FLOOR((lat - (-90.0e0)) / 11.25e0) AS BIGINT) AS iy
+  FROM direct WHERE district_id IS NULL
+),
+dcov AS (
+  SELECT district_id, x0, y0, x1, y1,
+         LEAST(GREATEST(CAST(FLOOR((x0 - (-180.0e0)) / 22.5e0) AS BIGINT), 0), 15) AS tix0,
+         LEAST(GREATEST(CAST(FLOOR((x1 - (-180.0e0)) / 22.5e0) AS BIGINT), 0), 15) AS tix1,
+         LEAST(GREATEST(CAST(FLOOR((y0 - (-90.0e0)) / 11.25e0) AS BIGINT), 0), 15) AS tiy0,
+         LEAST(GREATEST(CAST(FLOOR((y1 - (-90.0e0)) / 11.25e0) AS BIGINT), 0), 15) AS tiy1
+  FROM d
+),
 cand AS (
-  SELECT u.entity_id, d.district_id,
-         SQRT(POWER(GREATEST(d.x0 - u.lon, u.lon - d.x1, 0.0e0), 2)
-            + POWER(GREATEST(d.y0 - u.lat, u.lat - d.y1, 0.0e0), 2)) AS dist,
-         ROW_NUMBER() OVER (
-           PARTITION BY u.entity_id
-           ORDER BY SQRT(POWER(GREATEST(d.x0 - u.lon, u.lon - d.x1, 0.0e0), 2)
-                       + POWER(GREATEST(d.y0 - u.lat, u.lat - d.y1, 0.0e0), 2)),
-                    d.district_id) AS rn
-  FROM un u JOIN d
-    ON GREATEST(d.x0 - u.lon, u.lon - d.x1, 0.0e0) < 11.25e0
-   AND GREATEST(d.y0 - u.lat, u.lat - d.y1, 0.0e0) < 11.25e0
+  SELECT u.entity_id, c.district_id,
+         SQRT(GREATEST(c.x0 - u.lon, u.lon - c.x1, 0.0e0)
+            * GREATEST(c.x0 - u.lon, u.lon - c.x1, 0.0e0)
+            + GREATEST(c.y0 - u.lat, u.lat - c.y1, 0.0e0)
+            * GREATEST(c.y0 - u.lat, u.lat - c.y1, 0.0e0)) AS dist
+  FROM un u JOIN dcov c
+    ON c.tix0 <= u.ix + 1 AND c.tix1 >= u.ix - 1
+   AND c.tiy0 <= u.iy + 1 AND c.tiy1 >= u.iy - 1
+),
+best AS (
+  SELECT entity_id, district_id,
+         ROW_NUMBER() OVER (PARTITION BY entity_id
+                            ORDER BY dist, district_id) AS rn
+  FROM cand
 )
 SELECT entity_id, district_id FROM direct WHERE district_id IS NOT NULL
 UNION ALL
-SELECT entity_id, district_id FROM cand WHERE rn = 1
+SELECT entity_id, district_id FROM best WHERE rn = 1
 """,
     "point_cells": f"""
 WITH pts AS ({D.points_oracle_cte()})
