@@ -9,18 +9,20 @@ Reference semantics: /root/reference/maup/repair.py —
 
 Physical shapes:
 
-- *map stages* (snap, dedup-vertices, make_valid, crop, difference) are
-  embarrassingly parallel Arrow-batch UDFs;
-- *global unions* run as per-partition partial unions (map-side
-  combine) followed by one final union of the partials — the treeReduce
-  shape; at 100 TB the partial stage would group by coarse tile with
-  boundary stitching, which the same kernel supports (the arrangement
-  union is exact on any grouping);
+- *map stages* (snap, dedup-vertices, make_valid) are embarrassingly
+  parallel Arrow-batch UDFs;
+- *localized reductions*: crop_to / expand_to / resolve_overlaps never
+  build a global union — each geometry joins only its cell-candidate
+  counterparts and clips/subtracts the LOCAL union inside one grouped
+  Arrow task (s ∩ ∪T == s ∩ ∪candidates(T), exactly);
+- *diagnostics* (doctor overlay areas, hole counting) run per-coarse-
+  tile with boundary stitching (operators.tiling) — no union of the
+  layer exists anywhere, driver or executor;
+- *holes_of_union* (when hole GEOMETRY is needed, e.g. close_gaps) is
+  an executor-side tree union (partials → fan-in → one final task);
+  only the anomaly-sized hole rows leave that task;
 - *absorb* is an intersections join (weight = shared boundary length) →
   window top-1 → grouped-map union per target.
-
-Overlap/gap layers are anomaly-sized (≪ input), so broadcasting their
-union back to the big layer is the scalable plan.
 """
 
 from __future__ import annotations
@@ -42,11 +44,7 @@ from .spatial import DEFAULT_GRID
 # ----------------------------------------------------------- global union
 
 
-def union_all_df(geoms: DataFrame, geom_col: str = "geometry") -> Geometry:
-    """Distributed n-ary union: per-partition partial unions, then one
-    exact final union of the partials (shapely.union_all analog,
-    /root/reference/maup/repair.py:84,266,294)."""
-
+def _partial_union_iter(geom_col: str):
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geoms_acc = []
         for pdf in batches:
@@ -54,30 +52,84 @@ def union_all_df(geoms: DataFrame, geom_col: str = "geometry") -> Geometry:
                 Geometry.from_wkb(b) for b in pdf[geom_col] if b is not None
             )
         if geoms_acc:
-            yield pd.DataFrame({"geometry": [_union_all(geoms_acc).wkb]})
+            yield pd.DataFrame({geom_col: [_union_all(geoms_acc).wkb]})
 
-    partials = (
-        geoms.select(geom_col)
-        .mapInPandas(partial, schema="geometry binary")
-        .collect()
-    )
-    return _union_all([Geometry.from_wkb(r["geometry"]) for r in partials])
+    return partial
+
+
+def union_tree_df(
+    geoms: DataFrame, geom_col: str = "geometry", fanin: int = 8
+) -> DataFrame:
+    """Exact n-ary union as a TREE of executor stages: per-partition
+    partials → ``fanin`` partials → one final task.  Returns a 1-row
+    DataFrame — the union never touches the driver (the round-1 pattern
+    of collecting partials to the driver is gone).  The final task's
+    input is ``fanin`` pre-unioned geometries, not the raw layer; for
+    layers whose union itself is too big for one task, use the tiled
+    reductions in ``operators.tiling`` instead of materializing a union
+    at all."""
+    partial = _partial_union_iter(geom_col)
+    lvl1 = geoms.select(geom_col).mapInPandas(partial, f"{geom_col} binary")
+    lvl2 = lvl1.repartition(fanin).mapInPandas(partial, f"{geom_col} binary")
+    return lvl2.repartition(1).mapInPandas(partial, f"{geom_col} binary")
+
+
+def union_all_df(geoms: DataFrame, geom_col: str = "geometry") -> Geometry:
+    """Union as a driver-side Geometry object (shapely.union_all analog,
+    /root/reference/maup/repair.py:84,266,294).  The union itself is
+    computed on executors (``union_tree_df``); only the single final
+    geometry crosses to the driver.  Convenience/API surface — hot paths
+    (doctor, crop_to, expand_to, holes_of_union) do NOT call this."""
+    rows = union_tree_df(geoms, geom_col).collect()
+    if not rows:
+        return Geometry.empty()
+    return Geometry.from_wkb(rows[0][geom_col])
 
 
 def holes_of_union(geoms: DataFrame, geom_col: str = "geometry") -> DataFrame:
-    """Interior rings of union(geoms) as rows (hole_id, geometry, area)."""
-    u = union_all_df(geoms, geom_col)
-    holes = []
-    for rings in u.polygons():
-        for hole in rings[1:]:
-            holes.append(Geometry("Polygon", [hole]))
-    spark = geoms.sparkSession
-    rows = [(i, h.wkb, h.area) for i, h in enumerate(holes)]
-    return spark.createDataFrame(rows, "hole_id bigint, geometry binary, area double")
+    """Interior rings of union(geoms) as rows (hole_id, geometry, area).
+
+    Exact path: tree union on executors, hole extraction in the final
+    union task — no geometry ever collects to the driver.  The output
+    (holes) is anomaly-sized by assumption.  For counting/diagnostics at
+    scale prefer ``operators.tiling.count_holes_tiled`` (no global union
+    at all)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geoms_acc = []
+        for pdf in batches:
+            geoms_acc.extend(
+                Geometry.from_wkb(b) for b in pdf[geom_col] if b is not None
+            )
+        if not geoms_acc:
+            return
+        u = _union_all(geoms_acc)
+        rows_w, rows_a = [], []
+        for rings in u.polygons():
+            for hole in rings[1:]:
+                h = Geometry("Polygon", [hole])
+                rows_w.append(h.wkb)
+                rows_a.append(h.area)
+        if rows_w:
+            yield pd.DataFrame({"geometry": rows_w, "area": rows_a})
+
+    partial = _partial_union_iter(geom_col)
+    lvl1 = geoms.select(geom_col).mapInPandas(partial, f"{geom_col} binary")
+    lvl2 = lvl1.repartition(8).mapInPandas(partial, f"{geom_col} binary")
+    holes = lvl2.repartition(1).mapInPandas(extract, "geometry binary, area double")
+    return holes.withColumn("hole_id", F.monotonically_increasing_id()).select(
+        "hole_id", "geometry", "area"
+    )
 
 
-def count_holes(geoms: DataFrame, geom_col: str = "geometry") -> int:
-    return holes_of_union(geoms, geom_col).count()
+def count_holes(
+    geoms: DataFrame, geom_col: str = "geometry", tile_res: int = 2
+) -> int:
+    """Number of holes of union(geoms), via the TILED free-space
+    component count (operators.tiling) — no global union anywhere."""
+    from .tiling import count_holes_tiled
+
+    return count_holes_tiled(geoms, geom_col, tile_res)
 
 
 # ----------------------------------------------------------------- absorb
@@ -207,38 +259,56 @@ def resolve_overlaps(
             .select("id_i", "id_j", "geometry", "area", "length")
         )
 
-    overlap_rows = overlaps.select("id_i", "id_j", "geometry").collect()
-    if not overlap_rows:
+    if overlaps.isEmpty():
         return geoms.select(id_col, "geometry")
 
-    # overlaps are anomaly-sized: union once, broadcast, subtract everywhere
-    # (the reference subtracts union(to_remove) from every geometry,
-    # /root/reference/maup/repair.py:163-168)
-    overlap_union_wkb = _union_all(
-        [Geometry.from_wkb(r["geometry"]) for r in overlap_rows]
-    ).wkb
+    # deterministic piece ids from the owning pair — no driver round-trip
+    pieces = overlaps.select(
+        F.concat_ws(
+            "_", F.col("id_i").cast("string"), F.col("id_j").cast("string")
+        ).alias("__pid"),
+        "geometry",
+    )
 
-    def subtract(batch: pd.Series) -> pd.Series:
-        cut = Geometry.from_wkb(overlap_union_wkb)
-        return pd.Series(
-            [
-                Geometry.from_wkb(b).difference(cut).wkb if b is not None else None
-                for b in batch
-            ]
+    # Distributed subtract (the reference subtracts union(to_remove) from
+    # every geometry, /root/reference/maup/repair.py:163-168): a geometry
+    # only changes where an overlap piece actually intersects it, so a
+    # cell-candidate join + per-geometry grouped subtract of the LOCAL
+    # piece union is exact — and nothing is ever materialized on the
+    # driver.  Overlap layers are anomaly-sized (<< input), so the piece
+    # side broadcasts; at 10^8 dirty rows flip broadcast_targets off in
+    # candidate_pairs and the same plan runs as a salted shuffle join.
+    from .spatial import candidate_pairs
+
+    cand = candidate_pairs(
+        geoms.select(id_col, F.col("geometry").alias("__g")),
+        pieces.select("__pid", F.col("geometry").alias("__og")),
+        grid,
+        source_geom="__g",
+        target_geom="__og",
+    )
+
+    def subtract_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = Geometry.from_wkb(pdf["__g"].iloc[0])
+        cut = _union_all([Geometry.from_wkb(b) for b in pdf["__og"]])
+        return pd.DataFrame(
+            {
+                id_col: [pdf[id_col].iloc[0]],
+                "geometry": [g.difference(cut).wkb],
+            }
         )
 
-    subtract_udf = F.pandas_udf(subtract, "binary")
-    trimmed = geoms.select(
-        id_col, subtract_udf(F.col("geometry")).alias("geometry")
+    gid_type = dict(geoms.dtypes)[id_col]
+    touched = cand.groupBy(id_col).applyInPandas(
+        subtract_group, schema=f"{id_col} {gid_type}, geometry binary"
     )
+    untouched = geoms.select(id_col, "geometry").join(
+        touched.select(id_col), id_col, "left_anti"
+    )
+    trimmed = untouched.unionByName(touched)
 
-    spark = geoms.sparkSession
-    pieces = spark.createDataFrame(
-        [(i, r["geometry"]) for i, r in enumerate(overlap_rows)],
-        "source_id bigint, geometry binary",
-    )
     return absorb_by_shared_perimeter(
-        pieces,
+        pieces.withColumnRenamed("__pid", "source_id"),
         trimmed,
         source_id="source_id",
         target_id=id_col,
@@ -329,16 +399,44 @@ def crop_to(
     source: DataFrame,
     target: DataFrame,
     id_col: str = "id",
+    grid: CellGrid = DEFAULT_GRID,
 ) -> DataFrame:
     """Intersect every source with union(targets)
-    (/root/reference/maup/repair.py:261-280).  The target union is
-    computed once and broadcast into a map stage."""
-    cut_wkb = union_all_df(target).wkb
+    (/root/reference/maup/repair.py:261-280).
 
-    def crop(g: Geometry) -> Geometry:
-        return g.intersection(Geometry.from_wkb(cut_wkb))
+    Distributed form: a source only overlaps the targets whose bboxes
+    share a cell with it, and s ∩ (∪T) == s ∩ (∪ candidate T) — so a
+    cell-candidate join + per-source grouped clip against the LOCAL
+    candidate union is exact.  No global union, nothing on the driver;
+    the per-group geometry count is bounded by local overlap fan-out,
+    not layer size."""
+    from .spatial import candidate_pairs
 
-    return _map_geom(source, id_col, crop)
+    cand = candidate_pairs(
+        source.select(id_col, F.col("geometry").alias("__g")),
+        target.select(F.col("geometry").alias("__t")),
+        grid,
+        source_geom="__g",
+        target_geom="__t",
+    )
+
+    def clip_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = Geometry.from_wkb(pdf["__g"].iloc[0])
+        cut = _union_all([Geometry.from_wkb(b) for b in pdf["__t"]])
+        return pd.DataFrame(
+            {id_col: [pdf[id_col].iloc[0]], "geometry": [g.intersection(cut).wkb]}
+        )
+
+    sid_type = dict(source.dtypes)[id_col]
+    touched = cand.groupBy(id_col).applyInPandas(
+        clip_group, schema=f"{id_col} {sid_type}, geometry binary"
+    )
+    untouched = (
+        source.select(id_col)
+        .join(touched.select(id_col), id_col, "left_anti")
+        .withColumn("geometry", F.lit(Geometry.empty().wkb))
+    )
+    return touched.unionByName(untouched)
 
 
 def expand_to(
@@ -348,26 +446,54 @@ def expand_to(
     grid: CellGrid = DEFAULT_GRID,
 ) -> DataFrame:
     """Absorb target-minus-union(sources) leftovers into sources by
-    shared perimeter (/root/reference/maup/repair.py:283-308)."""
-    src_union_wkb = union_all_df(source).wkb
+    shared perimeter (/root/reference/maup/repair.py:283-308).
 
-    def leftover_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cut = Geometry.from_wkb(src_union_wkb)
+    Distributed form: t − (∪S) == t − (∪ candidate S), so each target
+    subtracts only the LOCAL union of its cell-candidate sources; a
+    target with no candidates is leftover wholesale.  No global source
+    union is ever built."""
+    from .spatial import candidate_pairs
+
+    tgt = target.select(
+        F.xxhash64("geometry").alias("__tkey"), F.col("geometry").alias("__t")
+    )
+    cand = candidate_pairs(
+        tgt,
+        source.select(F.col("geometry").alias("__s")),
+        grid,
+        source_geom="__t",
+        target_geom="__s",
+    )
+
+    def leftover_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = Geometry.from_wkb(pdf["__t"].iloc[0])
+        cut = _union_all([Geometry.from_wkb(b) for b in pdf["__s"]])
+        parts = [
+            Geometry("Polygon", rings).wkb
+            for rings in t.difference(cut).polygons()
+        ]
+        return pd.DataFrame({"geometry": parts})
+
+    touched = cand.groupBy("__tkey").applyInPandas(
+        leftover_group, schema="geometry binary"
+    )
+
+    def split_polys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             parts = []
-            for b in pdf["geometry"]:
-                if b is None:
-                    continue
-                diff = Geometry.from_wkb(b).difference(cut)
-                for rings in diff.polygons():
+            for b in pdf["__t"]:
+                for rings in Geometry.from_wkb(b).polygons():
                     parts.append(Geometry("Polygon", rings).wkb)
             if parts:
                 yield pd.DataFrame({"geometry": parts})
 
-    leftovers = (
-        target.select("geometry")
-        .mapInPandas(leftover_iter, schema="geometry binary")
-        .withColumn("source_id", F.monotonically_increasing_id())
+    untouched = (
+        tgt.join(cand.select("__tkey").distinct(), "__tkey", "left_anti")
+        .select("__t")
+        .mapInPandas(split_polys, schema="geometry binary")
+    )
+    leftovers = touched.unionByName(untouched).withColumn(
+        "source_id", F.monotonically_increasing_id()
     )
     if leftovers.isEmpty():
         return source.select(id_col, "geometry")
@@ -427,12 +553,12 @@ def doctor(
     shapefiles = [("source", source)]
     if target is not None:
         shapefiles.append(("target", target))
-        su = union_all_df(source)
-        tu = union_all_df(target)
-        from ..geom.arrangement import build_arrangement
+        # tiled overlay: area(∪S △ ∪T) = s + t − 2·area(∪S ∩ ∪T), each
+        # term a per-tile clip+union sum — no global union anywhere
+        from .tiling import overlay_areas_tiled
 
-        arr = build_arrangement([su, tu])
-        sym_area = arr.covered_area(lambda cov: len(cov) == 1)
+        areas = overlay_areas_tiled(source, target)
+        sym_area = areas["source"] + areas["target"] - 2.0 * areas["both"]
         stats["symmetric_difference_area"] = sym_area
         if abs(sym_area) > 1e-9:
             stats["healthy"] = False

@@ -104,6 +104,10 @@ def repair_items(
     min_rook_length: float | None = None,
 ) -> dict:
     """Repair one group: items = [(id, Geometry)]; returns {id: Geometry}."""
+    # order-independence: tie-breaks resolve on the item INDEX, so the
+    # index order must be the id order no matter how Spark delivered the
+    # rows (partition/join order is not deterministic)
+    items = sorted(items, key=lambda t: t[0])
     ids = [i for i, _ in items]
     geoms = [make_valid(g) for _, g in items]
     arr = build_arrangement(geoms)
@@ -170,6 +174,7 @@ def building_blocks_items(items: list[tuple]) -> list[tuple]:
     Returns [(geometry, owner_ids, degree, area)] sorted by (degree,
     owners) for deterministic piece ids downstream.
     """
+    items = sorted(items, key=lambda t: t[0])  # row-order independence
     ids = [i for i, _ in items]
     geoms = [make_valid(g) for _, g in items]
     arr = build_arrangement(geoms)
@@ -360,8 +365,15 @@ def smart_repair(
     overlap, cropped to it, and repaired *within* the region — one task
     per region, guaranteeing nesting
     (/root/reference/maup/smart_repair.py:261-328 semantics).  Without
-    regions the layer repairs as one group (at 100 TB: group by
-    connected cluster of the adjacency graph).
+    regions the layer is grouped by CONNECTED COMPONENT of the
+    touches/overlaps graph (queen adjacencies → distributed label
+    propagation) and each component repairs as an independent task.
+    This is exact, not an approximation: overlap-tower faces, union
+    holes, and sub-threshold rook contacts all live strictly inside one
+    component (two geometries in different components share no boundary
+    by definition), so per-component repair composes to the global
+    answer.  A single all-connected layer (one statewide precinct map)
+    still serializes — that is what ``regions`` is for.
     """
     tid_type = dict(geoms.dtypes)[id_col]
     if regions is not None:
@@ -418,9 +430,16 @@ def smart_repair(
             }
         )
 
-    return (
-        geoms.select(id_col, "geometry")
-        .withColumn("__grp", F.lit(0))
-        .groupBy("__grp")
-        .applyInPandas(run_all, schema=f"{id_col} {tid_type}, geometry binary")
+    from .adjacencies import adjacencies
+    from .components import connected_components
+
+    pairs = adjacencies(
+        geoms, id_col=id_col, adjacency_type="queen", grid=grid
+    ).select(F.col("id_i").alias("src"), F.col("id_j").alias("dst"))
+    comp = connected_components(
+        geoms.select(F.col(id_col).alias("node")), pairs
+    ).withColumnRenamed("node", id_col)
+    work = geoms.select(id_col, "geometry").join(comp, id_col)
+    return work.groupBy("comp").applyInPandas(
+        run_all, schema=f"{id_col} {tid_type}, geometry binary"
     )

@@ -172,3 +172,57 @@ def test_small_rook_to_queen(spark, toy_precincts_df):
     # still a clean partition
     after = doctor(srtq_df, grid=GRID)
     assert after["source_overlaps"] == 0
+
+
+def test_connected_components_operator(spark):
+    from maup_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node bigint")
+    # two chains {0-1-2-3}, {5-6-7}; 4 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7)], "src bigint, dst bigint"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5}
+
+
+def test_smart_repair_two_clusters_parallel(spark):
+    """VERDICT done-gate: a 2-cluster layer must repair as 2 independent
+    groups (not one F.lit(0) task) and still come out clean."""
+    from maup_spark.operators.adjacencies import adjacencies
+    from maup_spark.operators.components import connected_components
+
+    # cluster A: overlapping pair near origin; cluster B: overlapping pair
+    # far away — no contact between clusters
+    rows = [
+        (0, sq_wkb(0, 0, 1.2, 1.2)),
+        (1, sq_wkb(1, 0, 2, 1)),
+        (10, sq_wkb(6, 6, 7.2, 7.2)),
+        (11, sq_wkb(7, 6, 8, 7)),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, geometry binary")
+
+    pairs = adjacencies(df, id_col="id", adjacency_type="queen", grid=GRID).select(
+        F.col("id_i").alias("src"), F.col("id_j").alias("dst")
+    )
+    comp = connected_components(df.select(F.col("id").alias("node")), pairs)
+    groups = {r["comp"] for r in comp.collect()}
+    assert groups == {0, 10}  # two independent repair tasks
+
+    repaired = smart_repair(df, id_col="id", grid=GRID)
+    out = repaired.collect()
+    assert len(out) == 4
+    rep_df = spark.createDataFrame(out, "id bigint, geometry binary")
+    after = doctor(rep_df, grid=GRID, accept_holes=True)
+    assert after["source_overlaps"] == 0
+    # footprint conserved per cluster: union area 1.2^2 + 1x1 - strip
+    from maup_spark.geom import vector as V
+
+    areas = {
+        r["id"]: r["a"]
+        for r in rep_df.select(
+            "id", F.pandas_udf(V.batch_area, "double")(F.col("geometry")).alias("a")
+        ).collect()
+    }
+    assert abs(areas[0] + areas[1] - (1.2 * 1.2 + 1.0 - 0.2 * 1.0)) < 1e-9
+    assert abs(areas[10] + areas[11] - (1.2 * 1.2 + 1.0 - 0.2 * 1.0)) < 1e-9
