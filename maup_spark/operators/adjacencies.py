@@ -10,9 +10,10 @@ Spark plan: a cell self-join carrying ONLY ids and bbox columns
 (geometry stays in a SparkContext broadcast; the pairwise exact overlay
 resolves both sides from it — zero geometry bytes over the join),
 ``i < j`` pushed as a codegen'd filter before the UDF, reference-point
-dedup.  For layers too large to broadcast, pass
-``broadcast_geoms=False`` to fall back to shipping WKB through the
-join (the 100 TB shape would shard the broadcast per cell region).
+dedup.  For layers too large to broadcast, pass ``broadcast=False,
+broadcast_geoms=False``: WKB ships through a two-level SALTED cell
+self-join (geometry sharded by cell region across the cluster — the
+100 TB shape) with AQE skew join as the backstop.
 """
 
 from __future__ import annotations
@@ -87,7 +88,14 @@ def adjacencies(
         right = right.drop("__gj")
     if broadcast:
         right = F.broadcast(right)
-    joined = left.join(right, "cell_id").filter(F.col("id_i") < F.col("id_j"))
+        joined = left.join(right, "cell_id")
+    else:
+        # big-layer self-join: explicit two-level salting of hot cells
+        # (dense urban tiles), AQE skew-join as backstop
+        from .spatial import hot_cells, salted_join
+
+        joined = salted_join(left, right, hot_cells(left))
+    joined = joined.filter(F.col("id_i") < F.col("id_j"))
     ref_cell = _cell_of(
         grid,
         F.greatest("__i_xmin", "__j_xmin"),

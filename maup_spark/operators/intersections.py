@@ -13,10 +13,15 @@ Physical plans (geometry bytes never ride the candidate join):
 - **rect layers** (``rect_layers=True``, both sides carry bbox
   columns): the whole refine is codegen'd LEAST/GREATEST arithmetic —
   zero Python, zero geometry transfer.
-- **general polygons**: the target layer (small side) is collected into
-  a SparkContext broadcast {id: wkb}; candidates carry only ids +
-  source WKB; the exact overlay runs in one Arrow-batched struct UDF
-  that resolves targets from the broadcast (parsed once per worker).
+- **general polygons, small target layer** (``broadcast_targets=True``):
+  targets are collected into a SparkContext broadcast {id: wkb};
+  candidates carry only ids + source WKB; the exact overlay runs in one
+  Arrow-batched struct UDF that resolves targets from the broadcast
+  (parsed once per worker).
+- **general polygons, BIG target layer** (``broadcast_targets=False``):
+  no collect anywhere — target WKB shards across the cluster inside the
+  salted cell shuffle join (hot cells get two-level salting, AQE skew
+  join is the backstop) and the refine UDF reads both WKB columns.
 
 ``prorate`` is two equi-joins plus a hash aggregation — fully
 codegen'd.
@@ -117,21 +122,41 @@ def intersections(
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
-    bc = geom_broadcast(tgt_small, "__tid", "__tgeom")
-    cand = candidate_pairs(
-        src,
-        tgt_small,
-        grid,
-        "__sgeom",
-        "__tgeom",
-        broadcast_targets=broadcast_targets,
-        source_bounds=source_bounds,
-        target_bounds=target_bounds,
-        drop_target_geom=True,
-    )
-    ix_udf = make_intersection_by_id_udf(bc, _IX_SCHEMA)
+    if broadcast_targets:
+        # small target layer: geometry rides a SparkContext broadcast
+        # {id: wkb}; the candidate join carries ids only
+        bc = geom_broadcast(tgt_small, "__tid", "__tgeom")
+        cand = candidate_pairs(
+            src,
+            tgt_small,
+            grid,
+            "__sgeom",
+            "__tgeom",
+            broadcast_targets=True,
+            source_bounds=source_bounds,
+            target_bounds=target_bounds,
+            drop_target_geom=True,
+        )
+        ix_udf = make_intersection_by_id_udf(bc, _IX_SCHEMA)
+        ix_col = ix_udf(F.col("__tid"), F.col("__sgeom"))
+    else:
+        # target layer too big for one driver dict: NO collect anywhere —
+        # target WKB shards across the cluster by cell region inside the
+        # salted shuffle join (candidate_pairs salts hot cells, AQE skew
+        # join is the backstop) and the refine reads both WKB columns
+        cand = candidate_pairs(
+            src,
+            tgt_small,
+            grid,
+            "__sgeom",
+            "__tgeom",
+            broadcast_targets=False,
+            source_bounds=source_bounds,
+            target_bounds=target_bounds,
+        )
+        ix_col = _intersection_udf(F.col("__sgeom"), F.col("__tgeom"))
     out = (
-        cand.withColumn("__ix", ix_udf(F.col("__tid"), F.col("__sgeom")))
+        cand.withColumn("__ix", ix_col)
         .filter(~F.col("__ix.is_empty"))
         .select(
             F.col("__sid").alias(source_id),
