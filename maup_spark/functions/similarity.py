@@ -90,19 +90,39 @@ def ann_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_sim: float = 0.0,
+    n_tables: int = 4,
+    band_bits: int = 8,
 ) -> DataFrame:
-    """Bucketed ANN: vectors sharing a full hyperplane signature are
-    candidates; exact cosine computed only within buckets."""
-    sig = embeddings.select(
-        F.col(id_col), F.col(vec_col), lsh_signature_col(vec_col).alias("sig")
+    """Banded multi-table ANN (the MinHash-bands construction applied to
+    random hyperplanes): ``n_tables`` independent ``band_bits``-bit
+    signatures; a pair is a candidate if it agrees on ANY full table —
+    recall at cosine 0.8 is 1-(1-p^b)^L ≈ 0.50 for 4×8 vs ≈ 0.16 for the
+    single 8-bit table this replaces (p = 1 - θ/π ≈ 0.795).
+
+    Physical shape: one signature pass (JVM HOF folds), explode ×L,
+    equi-join on (table, band signature), pair-dedup across tables,
+    exact cosine only on deduped candidates.  Bucket fan-in is n/2^b per
+    table — band_bits is the knob that keeps the quadratic work bounded
+    as the corpus grows."""
+    full = lsh_signature_col(vec_col, n_planes=n_tables * band_bits)
+    sig = embeddings.select(F.col(id_col), F.col(vec_col), full.alias("__fsig"))
+    tabs = sig.withColumn(
+        "__t", F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1)))
+    ).withColumn(
+        "__tsig",
+        F.concat(
+            F.col("__t").cast("string"),
+            F.lit(":"),
+            F.expr(f"substring(__fsig, __t * {band_bits} + 1, {band_bits})"),
+        ),
     )
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "sig"
+    a = tabs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__tsig")
+    b = tabs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__tsig")
+    pairs = (
+        a.join(b, "__tsig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair can match several tables
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "sig"
-    )
-    pairs = a.join(b, ["sig"]).filter(F.col("id_a") < F.col("id_b"))
     sim = _dot("__va", "__vb") / (_norm("__va") * _norm("__vb"))
     return (
         pairs.withColumn("sim", F.round(sim, 6))

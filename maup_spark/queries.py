@@ -503,11 +503,16 @@ _SIMHASH_BITS = " || ".join(
     f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
 )
 
+# 32 hyperplanes = 4 banded tables x 8 bits (must mirror
+# functions.similarity.ann_lsh_pairs defaults)
 _LSH_SIG = " || ".join(
     "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
     f"list_transform(range(0, 64), k -> CAST((({j + 1}) * 31 + k * 17) % 13 - 6 AS DOUBLE))) >= 0 "
     "THEN '1' ELSE '0' END"
-    for j in range(8)
+    for j in range(32)
+)
+_LSH_BAND_MATCH = " OR ".join(
+    f"substr(a.s, {t * 8 + 1}, 8) = substr(b.s, {t * 8 + 1}, 8)" for t in range(4)
 )
 
 ORACLES.update(
@@ -582,12 +587,12 @@ SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
 """,
         "ann_lsh": f"""
 WITH sig AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_LSH_SIG} AS sig
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_LSH_SIG} AS s
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
-FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({_LSH_BAND_MATCH})
 WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.0e0
 """,
         "pages_extract": """
