@@ -97,6 +97,145 @@ def reattach_fragments(
     return repaired
 
 
+def _incenter_pt(pts):
+    """Incenter of a triangle — the reference's split point for
+    3-neighbor triangular gaps (/root/reference/maup/smart_repair.py:1097-1113,
+    2268-2310: 'more natural than the centroid for long skinny
+    triangles')."""
+    import math as _m
+
+    (ax, ay), (bx, by), (cx, cy) = pts
+    a = _m.hypot(cx - bx, cy - by)
+    b = _m.hypot(ax - cx, ay - cy)
+    c = _m.hypot(bx - ax, by - ay)
+    s = a + b + c
+    return ((a * ax + b * bx + c * cx) / s, (a * ay + b * by + c * cy) / s)
+
+
+def _centroid_pt(ring):
+    sx = sy = aa = 0.0
+    for k in range(len(ring) - 1):
+        x0, y0 = ring[k]
+        x1, y1 = ring[k + 1]
+        w = x0 * y1 - x1 * y0
+        aa += w
+        sx += (x0 + x1) * w
+        sy += (y0 + y1) * w
+    if abs(aa) < 1e-30:
+        return (float(ring[0, 0]), float(ring[0, 1]))
+    return (sx / (3.0 * aa), sy / (3.0 * aa))
+
+
+def _simplify_collinear(ring):
+    """Drop vertices lying on the segment between their neighbors."""
+    pts = [tuple(p) for p in ring[:-1]]
+    out = []
+    n = len(pts)
+    for k in range(n):
+        (px, py), (qx, qy), (rx, ry) = pts[k - 1], pts[k], pts[(k + 1) % n]
+        if abs((qx - px) * (ry - py) - (qy - py) * (rx - px)) > 1e-12:
+            out.append(pts[k])
+    return out
+
+
+def split_hole_among_neighbors(hole: Geometry, neighbors: dict):
+    """Split a multi-neighbor gap among its neighbors, reference-style
+    (/root/reference/maup/smart_repair.py:1032-1145 outcome semantics):
+    each boundary arc of the gap belongs to the geometry it coincides
+    with; sectors from each arc to an interior split point go to that
+    arc's owner.  Triangular 3-owner gaps use the INCENTER (exact
+    reference rule); general gaps use the centroid star split.  Returns
+    {owner_id: piece Geometry} or None when the gap is single-owner or
+    the star split is invalid (non-star-shaped gap) — callers fall back
+    to wholesale max-shared-perimeter absorption.  Not ported: the
+    reference's convexify/funnel subdivision for non-star gaps; the
+    fallback keeps the doctor contract (gap fully filled) with a
+    documented shape deviation for that rare case."""
+    from ..geom.arrangement import _node, _segments_of, _snap, intersection_area
+
+    rings = list(hole.polygons())
+    if len(rings) != 1 or len(rings[0]) != 1:
+        return None
+    ring = rings[0][0]
+    ids = sorted(neighbors)
+    segs = _segments_of(hole, -1)
+    for t, i in enumerate(ids):
+        segs += _segments_of(neighbors[i], t)
+    edges = _node(segs)
+
+    ordered = []  # (start_pt, end_pt, owner) along the ring
+    for k in range(len(ring) - 1):
+        p = (_snap(ring[k, 0]), _snap(ring[k, 1]))
+        q = (_snap(ring[k + 1, 0]), _snap(ring[k + 1, 1]))
+        if p == q:
+            continue
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ll = dx * dx + dy * dy
+        subs = []
+        for (u, v), tags in edges.items():
+            if -1 not in tags:
+                continue
+            cu = abs((u[0] - p[0]) * dy - (u[1] - p[1]) * dx)
+            cv = abs((v[0] - p[0]) * dy - (v[1] - p[1]) * dx)
+            if cu > 1e-9 * max(1.0, ll) or cv > 1e-9 * max(1.0, ll):
+                continue
+            tu = ((u[0] - p[0]) * dx + (u[1] - p[1]) * dy) / ll
+            tv = ((v[0] - p[0]) * dx + (v[1] - p[1]) * dy) / ll
+            if min(tu, tv) < -1e-9 or max(tu, tv) > 1 + 1e-9:
+                continue
+            owner_tags = [t for t in tags if t >= 0]
+            if not owner_tags:
+                return None  # hole edge matched no neighbor boundary
+            owner = ids[min(owner_tags)]
+            if tu <= tv:
+                subs.append((tu, u, v, owner))
+            else:
+                subs.append((tv, v, u, owner))
+        subs.sort(key=lambda s: s[0])
+        ordered.extend((a, b, o) for _, a, b, o in subs)
+    if not ordered:
+        return None
+
+    arcs = []  # [owner, [pts...]]
+    for a, b, owner in ordered:
+        if arcs and arcs[-1][0] == owner and arcs[-1][1][-1] == a:
+            arcs[-1][1].append(b)
+        else:
+            arcs.append([owner, [a, b]])
+    if len(arcs) > 1 and arcs[0][0] == arcs[-1][0] and arcs[-1][1][-1] == arcs[0][1][0]:
+        arcs[0][1] = arcs[-1][1][:-1] + arcs[0][1]
+        arcs.pop()
+    if len({o for o, _ in arcs}) <= 1:
+        return None
+
+    simple = _simplify_collinear(ring)
+    if len(simple) == 3 and len({o for o, _ in arcs}) == 3:
+        center = _incenter_pt(simple)
+    else:
+        center = _centroid_pt(ring)
+
+    hole_area = abs(hole.area)
+    pieces: dict = {}
+    total = 0.0
+    for owner, pts in arcs:
+        if pts[0] == pts[-1]:
+            continue  # arc spans the whole ring — single owner, bail
+        piece = Geometry.polygon(list(pts) + [center])
+        pa = abs(piece.area)
+        if pa <= 1e-15:
+            continue
+        # star-shape validation: every sector must lie inside the gap
+        if intersection_area(piece, hole) < pa * (1.0 - 1e-9):
+            return None
+        total += pa
+        pieces[owner] = (
+            union_all([pieces[owner], piece]) if owner in pieces else piece
+        )
+    if abs(total - hole_area) > 1e-9 * max(1.0, hole_area) or not pieces:
+        return None
+    return pieces
+
+
 def repair_items(
     items: list[tuple],
     fill_gaps: bool = True,
@@ -156,6 +295,17 @@ def repair_items(
             if fill_gaps_threshold is not None:
                 max_adj = max(repaired[i].area for i in neighbors)
                 if hole.area > fill_gaps_threshold * max_adj:
+                    continue
+            if len(neighbors) >= 2:
+                # reference smart_close_gaps semantics: a multi-neighbor
+                # gap is SPLIT among its neighbors (incenter rule for
+                # triangles), not absorbed winner-takes-all
+                split = split_hole_among_neighbors(
+                    hole, {i: repaired[i] for i in neighbors}
+                )
+                if split is not None:
+                    for i, piece in split.items():
+                        repaired[i] = union_all([repaired[i], piece])
                     continue
             best = min(sorted(neighbors), key=lambda i: (-neighbors[i], i))
             repaired[best] = union_all([repaired[best], hole])

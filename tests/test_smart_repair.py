@@ -226,3 +226,64 @@ def test_smart_repair_two_clusters_parallel(spark):
     }
     assert abs(areas[0] + areas[1] - (1.2 * 1.2 + 1.0 - 0.2 * 1.0)) < 1e-9
     assert abs(areas[10] + areas[11] - (1.2 * 1.2 + 1.0 - 0.2 * 1.0)) < 1e-9
+
+
+def test_triangle_gap_splits_at_incenter():
+    """Reference parity (/root/reference/maup/smart_repair.py:1097-1113):
+    a triangular gap touching 3 geometries splits into 3 triangles at
+    the INCENTER, one per adjacent geometry."""
+    import math
+
+    # triangle gap (0,0)(4,0)(0,4); A borders the bottom leg, B the left
+    # leg, C the hypotenuse; corners are 2D-covered (edge contacts, not
+    # pinch points) so the triangle is a genuine hole of the union
+    A = Geometry.polygon([(0, -1), (5, -1), (5, 0), (0, 0)])
+    B = Geometry.polygon([(-1, -1), (0, -1), (0, 5), (-1, 5)])
+    C = Geometry.polygon([(4, 0), (0, 4), (0, 5), (5, 5), (5, 0)])
+    rep = repair_items([(0, A), (1, B), (2, C)], fill_gaps=True, fill_gaps_threshold=None)
+
+    # incenter of right triangle with legs 4, 4, hyp 4*sqrt(2):
+    a, b, c = 4 * math.sqrt(2), 4.0, 4.0  # sides opposite (0,0),(4,0),(0,4)
+    s = a + b + c
+    ix = (a * 0 + b * 4 + c * 0) / s
+    iy = (a * 0 + b * 0 + c * 4) / s
+    tri = lambda p, q: abs((q[0] - p[0]) * (iy - p[1]) - (q[1] - p[1]) * (ix - p[0])) / 2
+    exp = {
+        0: A.area + tri((0, 0), (4, 0)),   # bottom-leg sector
+        1: B.area + tri((0, 4), (0, 0)),   # left-leg sector
+        2: C.area + tri((4, 0), (0, 4)),   # hypotenuse sector
+    }
+    for k in range(3):
+        # 1e-7: the arrangement snaps vertices to the 1e-9 grid, so the
+        # incenter lands up to ~1e-9 off the closed form per coordinate
+        assert abs(rep[k].area - exp[k]) < 1e-7, (k, rep[k].area, exp[k])
+    # gap fully filled, nothing double-counted
+    assert abs(sum(g.area for g in rep.values()) - (A.area + B.area + C.area + 8.0)) < 1e-9
+
+    from maup_spark.geom.arrangement import intersection_area
+
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert intersection_area(rep[i], rep[j]) < 1e-12
+
+
+def test_two_neighbor_gap_is_shared_not_winner_takes_all():
+    """A 2-neighbor rectangular gap splits between both neighbors via the
+    centroid star split (each keeps the half bounded by its own arc)."""
+    # gap [0,2]x[0,1]; top/bot bands extend past the corners so the gap
+    # is fully enclosed (no pinch corners)
+    L = Geometry.polygon([(-1, 0), (0, 0), (0, 1), (-1, 1)])
+    R = Geometry.polygon([(2, 0), (3, 0), (3, 1), (2, 1)])
+    top = Geometry.polygon([(-1, 1), (3, 1), (3, 2), (-1, 2)])
+    bot = Geometry.polygon([(-1, -1), (3, -1), (3, 0), (-1, 0)])
+    rep = repair_items(
+        [(0, L), (1, R), (2, top), (3, bot)], fill_gaps=True, fill_gaps_threshold=None
+    )
+    total_before = L.area + R.area + top.area + bot.area
+    assert abs(sum(g.area for g in rep.values()) - (total_before + 2.0)) < 1e-9
+    # every neighbor with positive shared arc gains a sector: nobody
+    # swallows the whole 2.0 gap
+    gains = {k: rep[k].area for k in rep}
+    assert gains[0] - L.area > 1e-6 and gains[1] - R.area > 1e-6
+    assert gains[2] - top.area > 1e-6 and gains[3] - bot.area > 1e-6
+    assert all(g < 2.0 - 1e-6 for g in (gains[0] - L.area, gains[1] - R.area))
