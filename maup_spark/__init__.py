@@ -14,7 +14,13 @@ over Spark DataFrames with WKB geometry columns:
 
 from .index.cells import CellGrid
 from .geom.base import Geometry
-from .operators.adjacencies import adjacencies, count_overlaps, islands
+from .operators.adjacencies import (
+    adjacencies,
+    adjacency_stats,
+    count_overlaps,
+    islands,
+)
+from .operators.components import connected_components
 from .operators.assign import (
     assign,
     assign_by_area,
@@ -31,6 +37,7 @@ from .operators.repair import (
     crop_to,
     doctor,
     expand_to,
+    holes,
     holes_of_union,
     make_valid_df,
     quick_repair,
@@ -39,15 +46,38 @@ from .operators.repair import (
     snap_to_grid,
 )
 from .operators.smart_repair import smart_repair
+from .operators.tiling import (
+    count_holes_tiled,
+    hole_components_tiled,
+    overlay_areas_tiled,
+    union_area_tiled,
+)
 from .session import get_spark
+from .warnings_ import (
+    AreaCroppingWarning,
+    AssignmentWarning,
+    IslandWarning,
+    OverlapWarning,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AreaCroppingWarning",
+    "AssignmentWarning",
     "CellGrid",
     "Geometry",
+    "IslandWarning",
+    "OverlapWarning",
     "absorb_by_shared_perimeter",
     "adjacencies",
+    "adjacency_stats",
+    "connected_components",
+    "count_holes_tiled",
+    "hole_components_tiled",
+    "holes",
+    "overlay_areas_tiled",
+    "union_area_tiled",
     "assign",
     "assign_by_area",
     "assign_by_covering",

@@ -148,5 +148,14 @@ class _Reader:
 
 
 def loads(buf: bytes):
-    """Parse WKB -> (type_code, payload); see module docstring for payloads."""
-    return _Reader(buf).read()
+    """Parse WKB -> (type_code, payload); see module docstring for payloads.
+
+    Truncated / malformed buffers raise ValueError naming the problem
+    instead of leaking numpy/struct internals from deep inside a Spark
+    worker."""
+    try:
+        return _Reader(buf).read()
+    except (struct.error, IndexError) as ex:
+        raise ValueError(
+            f"malformed WKB ({len(buf)} bytes): {ex}"
+        ) from ex

@@ -122,6 +122,49 @@ def adjacencies(
     return out
 
 
+def adjacency_stats(
+    geoms: DataFrame,
+    id_col: str = "id",
+    warn_for_overlaps: bool = True,
+    warn_for_islands: bool = True,
+    **kw,
+) -> dict:
+    """Diag counters surfaced like doctor's dict, with the reference's
+    warning contract (/root/reference/maup/adjacencies.py:71-97):
+    OverlapWarning when positive-area pairs exist, IslandWarning when
+    some geometry touches nothing.  Returns {n_pairs, n_overlaps,
+    n_islands, pairs: DataFrame}."""
+    import warnings as _w
+
+    from ..warnings_ import IslandWarning, OverlapWarning
+
+    adjs = adjacencies(geoms, id_col=id_col, adjacency_type="queen", **kw)
+    adjs = adjs.persist()
+    n_pairs = adjs.count()
+    n_overlaps = adjs.filter(F.col("area") > 0).count()
+    n_islands = islands(geoms, adjs, id_col).count()
+    if warn_for_overlaps and n_overlaps:
+        _w.warn(
+            f"Warning: {n_overlaps} adjacent geometry pairs overlap with "
+            "positive area. This can lead to unexpected results; consider "
+            "resolve_overlaps()/smart_repair().",
+            OverlapWarning,
+        )
+    if warn_for_islands and n_islands:
+        _w.warn(
+            f"Warning: {n_islands} geometries touch no other geometry "
+            "(islands). This can lead to unexpected results; check the "
+            "layer or use smart_repair().",
+            IslandWarning,
+        )
+    return {
+        "n_pairs": n_pairs,
+        "n_overlaps": n_overlaps,
+        "n_islands": n_islands,
+        "pairs": adjs,
+    }
+
+
 def islands(geoms: DataFrame, adjs: DataFrame, id_col: str = "id") -> DataFrame:
     """Ids that appear in no adjacency pair
     (/root/reference/maup/adjacencies.py:81-89)."""

@@ -237,11 +237,15 @@ def assign(
     grid: CellGrid = DEFAULT_GRID,
     source_bounds: tuple | None = None,
     target_bounds: tuple | None = None,
+    warn_unassigned: bool = False,
 ) -> DataFrame:
     """Polygon→polygon assignment (reference semantics above).
 
     Returns ``DataFrame[source_id, target_id, method]``, one row per
-    source; NULL target = unassigned.
+    source; NULL target = unassigned.  ``warn_unassigned=True`` emits
+    the reference's AssignmentWarning with the NULL count
+    (/root/reference/maup/assign.py:29-35) — opt-in because the count
+    is an extra Spark job on the hot path.
     """
     src = sources.select(
         F.col(source_id).alias("__sid"),
@@ -290,11 +294,25 @@ def assign(
     )
     phase2 = by_area.withColumn("method", F.lit("area"))
     assigned = phase1.unionByName(phase2)
-    return (
+    out = (
         sources.select(source_id)
         .join(assigned, source_id, "left")
         .select(source_id, target_id, "method")
     )
+    if warn_unassigned:
+        import warnings as _w
+
+        from ..warnings_ import AssignmentWarning
+
+        out = out.persist()
+        n_null = out.filter(F.col(target_id).isNull()).count()
+        if n_null:
+            _w.warn(
+                f"Warning: {n_null} units in the source geometry were "
+                "unassigned.",
+                AssignmentWarning,
+            )
+    return out
 
 
 def assign_by_covering(

@@ -122,6 +122,46 @@ def holes_of_union(geoms: DataFrame, geom_col: str = "geometry") -> DataFrame:
     )
 
 
+def holes(
+    geoms: DataFrame, id_col: str = "id", geom_col: str = "geometry"
+) -> DataFrame:
+    """Interior rings per GEOMETRY (/root/reference/maup/repair.py:74-81)
+    — DataFrame[id, hole_idx, geometry, area], embarrassingly parallel.
+    Non-polygonal rows raise TypeError, matching the reference."""
+    id_type = dict(geoms.dtypes)[id_col]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, wkbs, areas = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[geom_col]):
+                if b is None:
+                    continue
+                g = Geometry.from_wkb(b)
+                if g.gtype not in ("Polygon", "MultiPolygon"):
+                    raise TypeError(
+                        "holes() requires polygonal geometries "
+                        f"(got {g.gtype})"
+                    )
+                k = 0
+                for rings in g.polygons():
+                    for hole_ring in rings[1:]:
+                        h = Geometry("Polygon", [hole_ring])
+                        ids.append(i)
+                        idxs.append(k)
+                        wkbs.append(h.wkb)
+                        areas.append(abs(h.area))
+                        k += 1
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "hole_idx": idxs, "geometry": wkbs, "area": areas}
+                )
+
+    return geoms.select(id_col, geom_col).mapInPandas(
+        extract,
+        schema=f"{id_col} {id_type}, hole_idx bigint, geometry binary, area double",
+    )
+
+
 def count_holes(
     geoms: DataFrame, geom_col: str = "geometry", tile_res: int = 2
 ) -> int:
@@ -400,6 +440,7 @@ def crop_to(
     target: DataFrame,
     id_col: str = "id",
     grid: CellGrid = DEFAULT_GRID,
+    warn_zero_area: bool = False,
 ) -> DataFrame:
     """Intersect every source with union(targets)
     (/root/reference/maup/repair.py:261-280).
@@ -436,7 +477,28 @@ def crop_to(
         .join(touched.select(id_col), id_col, "left_anti")
         .withColumn("geometry", F.lit(Geometry.empty().wkb))
     )
-    return touched.unionByName(untouched)
+    out = touched.unionByName(untouched)
+    if warn_zero_area:
+        # reference contract (/root/reference/maup/repair.py:271-278);
+        # OPT-IN here because the count is an extra Spark job
+        import warnings as _w
+
+        from ..warnings_ import AreaCroppingWarning
+
+        out = out.persist()
+        n_zero = (
+            _with_area(out, id_col)
+            .filter((F.col("__area") <= 0) | F.col("__area").isNull())
+            .count()
+        )
+        if n_zero:
+            _w.warn(
+                f"{n_zero} cropped geometries have zero area, likely due to "
+                "large differences in the union of the geometries in your "
+                "source and target shapefiles.",
+                AreaCroppingWarning,
+            )
+    return out
 
 
 def expand_to(

@@ -499,6 +499,42 @@ def _small_rook_round(repaired: dict, min_rook_length: float) -> dict:
     return repaired
 
 
+def _snap_items(items: list[tuple], snap_precision: int | None, snapped: bool):
+    """Extent-relative vertex snap (reference smart_repair(snapped=,
+    snap_precision=), /root/reference/maup/smart_repair.py:49-62,162-220):
+    large coordinate magnitudes get a coarser grid so the arrangement's
+    fixed 1e-9 snap cannot mis-snap.  ``snap_precision`` = decimal
+    places; default derives from the group extent (9 - digits-before-
+    the-point, floored at 0).  No-op when the derived grid is finer than
+    the kernel's own snap."""
+    import math as _m
+
+    import numpy as np
+
+    if not snapped and snap_precision is None:
+        return items
+    if snap_precision is None:
+        extent = max(
+            (max(abs(v) for v in (*g.bounds,)) for _, g in items if not g.is_empty),
+            default=1.0,
+        )
+        snap_precision = max(0, 9 - max(0, int(_m.floor(_m.log10(max(extent, 1.0))))))
+    if snap_precision >= 9:
+        return items  # the arrangement already snaps at 1e-9
+
+    def snap_g(g: Geometry) -> Geometry:
+        if g.gtype == "Polygon":
+            return Geometry("Polygon", [np.round(r, snap_precision) for r in g.data])
+        if g.gtype == "MultiPolygon":
+            return Geometry(
+                "MultiPolygon",
+                [[np.round(r, snap_precision) for r in rings] for rings in g.data],
+            )
+        return g
+
+    return [(i, snap_g(g)) for i, g in items]
+
+
 def smart_repair(
     geoms: DataFrame,
     id_col: str = "id",
@@ -508,6 +544,8 @@ def smart_repair(
     fill_gaps_threshold: float | None = 0.1,
     min_rook_length: float | None = None,
     grid: CellGrid = DEFAULT_GRID,
+    snapped: bool = True,
+    snap_precision: int | None = None,
 ) -> DataFrame:
     """Distributed smart_repair.
 
@@ -556,6 +594,7 @@ def smart_repair(
                     g = g.intersection(clip)
                     g = union_all([Geometry("Polygon", r) for r in g.polygons()])
                 items.append((i, g))
+            items = _snap_items(items, snap_precision, snapped)
             rep = repair_items(items, fill_gaps, fill_gaps_threshold, min_rook_length)
             return pd.DataFrame(
                 {
@@ -572,6 +611,7 @@ def smart_repair(
         items = [
             (i, Geometry.from_wkb(b)) for i, b in zip(pdf[id_col], pdf["geometry"])
         ]
+        items = _snap_items(items, snap_precision, snapped)
         rep = repair_items(items, fill_gaps, fill_gaps_threshold, min_rook_length)
         return pd.DataFrame(
             {
