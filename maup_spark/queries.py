@@ -258,16 +258,21 @@ _CORPUS_SPARK = None  # built per call in _corpus
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + synthetic near-duplicates (every 10th doc copied with
-    a 3-token suffix) so dedup operators have real positives."""
+    """documents + synthetic NEAR-duplicates (every 10th doc copied with
+    a 3-token suffix) + EXACT duplicates (every 7th doc copied verbatim)
+    so both the minhash/jaccard and the exact-dedup operators have real
+    positives."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_part = spark.sparkContext.defaultParallelism
     docs = docs.repartition(n_part).select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra suffix token")).alias("text"),
     )
-    return docs.unionByName(dups)
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
 
 
 _CORPUS_CTE = """corpus AS (
@@ -275,6 +280,8 @@ _CORPUS_CTE = """corpus AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text || ' extra suffix token' AS text
   FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 )"""
 
 _SHINGLE_CTE = """tok AS (
