@@ -46,7 +46,12 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
         ]
         if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
             headline = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+        # min-of-3 by default: a one-off ~15-25s JVM hiccup (JIT/GC burst)
+        # lands on an arbitrary query once per session and would otherwise
+        # misattribute 10-20x to whichever query drew the short straw
+        # (observed moving between minhash/pages_extract/adjacencies
+        # across runs); the min is the steady-state cost
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         for name in headline:
             best, rows = None, 0
             for _ in range(repeats):

@@ -68,40 +68,58 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band
     (band = concatenation of 2 consecutive minhashes).  Equi-join on
-    (band, key) — the scalable shape; bucket sizes bound the quadratic
-    work.  ``max_bucket`` drops runaway buckets (boilerplate shingle
-    sets at web scale) before the self-join — a quadratic-blowup guard;
-    None keeps every bucket (exact LSH semantics, the default)."""
-    mh = minhash_signatures(docs, text_col)
-    bands = None
-    for b in range(N_BANDS):
-        part = mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    if max_bucket is not None:
-        from pyspark.sql import Window
+    the band key — the scalable shape; bucket sizes bound the quadratic
+    work.
 
-        w = Window.partitionBy("band", "key")
-        bands = (
-            bands.withColumn("__bn", F.count("*").over(w))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+    CANONICAL-BAND dedup (no ``.distinct()`` exchange): a pair is
+    emitted only from the FIRST band whose keys match — the equi-join
+    per band carries the extra "no earlier band matched" conjuncts as
+    post-join filters, so each pair appears exactly once and the output
+    set equals the any-band-match set with one fewer shuffle.
+
+    ``max_bucket`` drops runaway buckets (boilerplate shingle sets at
+    web scale) per band before its join — a quadratic-blowup guard; a
+    pair whose first matching band is capped is suppressed (heuristic,
+    documented).  None keeps every bucket (exact LSH semantics, the
+    default)."""
+    mh = minhash_signatures(docs, text_col)
+
+    def key_col(side: str, j: int) -> F.Column:
+        return F.concat(F.col(f"{side}.m{2 * j}"), F.col(f"{side}.m{2 * j + 1}"))
+
+    wide = mh
+    if max_bucket is not None:
+        # per-band hot-key tables (tiny: only keys over the cap)
+        for b in range(N_BANDS):
+            hot = (
+                mh.select(
+                    F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("__k")
+                )
+                .groupBy("__k")
+                .count()
+                .filter(F.col("count") > max_bucket)
+                .select("__k")
+            )
+            wide = wide.join(
+                F.broadcast(hot),
+                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) == F.col("__k"),
+                "left_anti",
+            )
+
+    out = None
+    for b in range(N_BANDS):
+        a = wide.alias("a")
+        c = wide.alias("b")
+        cond = (key_col("a", b) == key_col("b", b)) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
         )
-    a = bands.alias("a")
-    c = bands.alias("b")
-    return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        for j in range(b):
+            cond = cond & (key_col("a", j) != key_col("b", j))
+        part = a.join(c, cond).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def ngram_jaccard(docs: DataFrame, text_col: str = "text") -> DataFrame:
