@@ -53,11 +53,24 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE) -> DataF
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n: int = N_MINHASH
 ) -> DataFrame:
-    """Per-doc MinHash signature: lexicographic MIN of md5(shingle#i)
-    per permutation i — one hash aggregation."""
+    """Per-doc MinHash signature: numeric MIN of the 60-bit md5 prefix
+    of shingle#i per permutation i — one aggregation.
+
+    BIGINT (not the md5 hex string) matters physically: min(string) has
+    an immutable aggregation buffer, so Spark plans SortAggregate —
+    a per-partition SORT of every shingle row.  min(bigint) stays in
+    HashAggregate with map-side partial combine.  The 15-hex-digit
+    prefix keeps the value portable (DuckDB: CAST('0x'||substr(md5(..)
+    ,1,15) AS BIGINT))."""
     sh = shingles(docs, text_col)
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"m{i}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"m{i}")
         for i in range(n)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -85,26 +98,23 @@ def minhash_lsh_pairs(
     mh = minhash_signatures(docs, text_col)
 
     def key_col(side: str, j: int) -> F.Column:
-        return F.concat(F.col(f"{side}.m{2 * j}"), F.col(f"{side}.m{2 * j + 1}"))
+        return F.concat_ws(
+            "_", F.col(f"{side}.m{2 * j}"), F.col(f"{side}.m{2 * j + 1}")
+        )
 
     wide = mh
     if max_bucket is not None:
         # per-band hot-key tables (tiny: only keys over the cap)
         for b in range(N_BANDS):
+            bk = F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
             hot = (
-                mh.select(
-                    F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("__k")
-                )
+                mh.select(bk.alias("__k"))
                 .groupBy("__k")
                 .count()
                 .filter(F.col("count") > max_bucket)
                 .select("__k")
             )
-            wide = wide.join(
-                F.broadcast(hot),
-                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")) == F.col("__k"),
-                "left_anti",
-            )
+            wide = wide.join(F.broadcast(hot), bk == F.col("__k"), "left_anti")
 
     out = None
     for b in range(N_BANDS):

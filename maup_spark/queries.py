@@ -296,12 +296,19 @@ sh AS (
 ),
 shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)"""
 
+# numeric 60-bit md5-prefix minhashes (mirrors functions.dedup — numeric
+# mins keep Spark in HashAggregate; '0x' cast is the DuckDB twin of
+# Spark's conv(substr(md5,1,15),16,10))
 _MINHASH_CTE = (
     "mh AS (SELECT doc_id, "
-    + ", ".join(f"MIN(md5(shingle || '#{i}')) AS m{i}" for i in range(8))
+    + ", ".join(
+        f"MIN(CAST(concat('0x', substr(md5(shingle || '#{i}'), 1, 15)) AS BIGINT)) AS m{i}"
+        for i in range(8)
+    )
     + " FROM shn GROUP BY doc_id),\nbands AS ("
     + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, m{2*b} || m{2*b+1} AS key FROM mh"
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR) AS key FROM mh"
         for b in range(4)
     )
     + "),\ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
