@@ -85,6 +85,80 @@ def lsh_signature_col(vec_col: str = "embedding", n_planes: int = N_PLANES) -> F
     return F.concat(*bits)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_stride: int = 50,
+    centroid_stride: int = 97,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second ANN family the
+    pipeline needs at 100 TB (complements the hyperplane LSH).
+
+    1. coarse quantizer: every ``centroid_stride``-th vector is a
+       centroid (deterministic stand-in for k-means centroids so the
+       oracle stays closed-form; the Spark plumbing — broadcast
+       quantizer, argmin assignment, inverted lists, probe-limited
+       search — is the real IVF shape);
+    2. inverted lists: every vector assigns to its max-cosine centroid
+       (6-dp rounded sim, centroid-id tie-break) — ONE argmin shuffle;
+    3. search: each query probes its ``nprobe`` nearest centroids and
+       computes exact cosine only inside those lists — an equi-join on
+       centroid_id, never queries × corpus.
+
+    Scale shape: the quantizer broadcasts (10^4-10^5 centroids);
+    list sizes are n/#centroids on average; skewed lists fall under the
+    same salting/AQE machinery as every other hot-key join."""
+    emb = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = F.broadcast(
+        emb.filter(F.col("vid") % centroid_stride == 0).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    sim = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
+
+    # inverted lists: argmin assignment (min over (-sim, cid) structs)
+    assign = (
+        emb.join(cents, F.lit(True))
+        .withColumn("__d", F.struct((-sim).alias("d"), F.col("cid")))
+        .groupBy("vid")
+        .agg(F.min("__d").alias("__m"))
+        .select("vid", F.col("__m.cid").alias("centroid_id"))
+    )
+    lists = assign.join(emb, "vid").select(
+        "centroid_id", F.col("vid").alias("neighbor_id"), F.col("v").alias("__nv")
+    )
+
+    # query probes: nprobe nearest centroids per query
+    queries = emb.filter(F.col("vid") % query_stride == 0).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("__qv")
+    )
+    qsim = F.round(_dot("__qv", "cv") / (_norm("__qv") * _norm("cv")), 6)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__qs"), F.asc("cid"))
+    probes = (
+        queries.join(cents, F.lit(True))
+        .withColumn("__qs", qsim)
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", F.col("cid").alias("centroid_id"))
+    )
+
+    # exact cosine only inside probed lists
+    cand = probes.join(lists, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    csim = F.round(_dot("__qv", "__nv") / (_norm("__qv") * _norm("__nv")), 6)
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("sim", csim)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ann_lsh_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

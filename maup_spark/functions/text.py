@@ -64,6 +64,49 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_PUNCT = (".", ",", "!", "?", ";", ":")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document quality gate (the classic pre-training
+    filters: length band, punctuation density, stopword density, mean
+    token length) — 100% codegen, scaled-BIGINT score so the result is
+    hash-stable cross-engine.
+
+    score_e6 = round(1e6 * (0.4*len_ok + 0.3*min(1, 10*punct_ratio)
+                            + 0.3*min(1, 20*stop_ratio)))
+    with len_ok = 1 if 64 <= len_chars <= 100000 else 0.
+    keep = score_e6 >= 500000."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(t, " ")).cast("double")
+    punct = None
+    for p in _PUNCT:
+        c = F.length(t) - F.length(F.replace(t, F.lit(p), F.lit("")))
+        punct = c if punct is None else punct + c
+    stop = None
+    for w in _STOPWORDS:
+        c = _count_word(t, w)
+        stop = c if stop is None else stop + c
+    len_ok = F.when((n_chars >= 64) & (n_chars <= 100000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = punct.cast("double") / n_tokens
+    stop_ratio = stop.cast("double") / n_tokens
+    score = (
+        F.lit(0.4) * len_ok
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(10.0) * punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(20.0) * stop_ratio)
+    )
+    score_e6 = F.round(score * F.lit(1.0e6)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        punct.cast("long").alias("n_punct"),
+        score_e6.alias("score_e6"),
+        (score_e6 >= 500000).alias("keep"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint (md5 hex — stable across engines)."""
     return docs.select(

@@ -340,6 +340,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import doc_fingerprint
 
@@ -387,6 +393,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_part = spark.sparkContext.defaultParallelism
     return ann_lsh_pairs(emb.repartition(n_part))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    out = ivf_topk(emb.repartition(n_part))
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
 
 
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +507,7 @@ QUERIES.update(
     {
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -497,6 +515,7 @@ QUERIES.update(
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ivf_topk": q_ivf_topk,
         "pages_extract": q_pages_extract,
         "media_features": q_media_features,
         "adjacencies_nations": q_adjacencies_nations,
@@ -549,6 +568,30 @@ FROM documents
 SELECT doc_id, md5(text) AS fingerprint,
        md5(substr(text, 1, 64)) AS prefix_fingerprint
 FROM documents
+""",
+        # same double-expression order as functions.text.quality_score so
+        # the IEEE arithmetic is bit-identical before the 1e6 round
+        "quality_score": f"""
+WITH q AS (
+  SELECT doc_id,
+         ({" + ".join(f"(length(text) - length(replace(text, '{p}', '')))" for p in (".", ",", "!", "?", ";", ":"))}) AS n_punct,
+         ({_STOPWORD_HITS}) AS n_stop,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_punct AS BIGINT) AS n_punct,
+       CAST(ROUND((0.4e0 * (CASE WHEN n_chars >= 64 AND n_chars <= 100000
+                                 THEN 1.0e0 ELSE 0.0e0 END)
+                   + 0.3e0 * LEAST(1.0e0, 10.0e0 * (CAST(n_punct AS DOUBLE) / n_tokens))
+                   + 0.3e0 * LEAST(1.0e0, 20.0e0 * (CAST(n_stop AS DOUBLE) / n_tokens)))
+                  * 1.0e6) AS BIGINT) AS score_e6,
+       CAST(ROUND((0.4e0 * (CASE WHEN n_chars >= 64 AND n_chars <= 100000
+                                 THEN 1.0e0 ELSE 0.0e0 END)
+                   + 0.3e0 * LEAST(1.0e0, 10.0e0 * (CAST(n_punct AS DOUBLE) / n_tokens))
+                   + 0.3e0 * LEAST(1.0e0, 20.0e0 * (CAST(n_stop AS DOUBLE) / n_tokens)))
+                  * 1.0e6) AS BIGINT) >= 500000 AS keep
+FROM q
 """,
         "exact_dedup": f"""
 WITH {_CORPUS_CTE}
@@ -608,6 +651,46 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
 FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({_LSH_BAND_MATCH})
 WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.0e0
+""",
+        # IVF mirror: deterministic centroids (vec_id % 97 = 0), argmin
+        # assignment on 6dp-rounded cosine (centroid-id tie-break),
+        # nprobe=3 probe lists, exact top-5 within lists
+        "ivf_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                       c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                                       c.cid) AS rn
+    FROM e q CROSS JOIN c WHERE q.vec_id % 50 = 0
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.v, n.v), 6) AS sim
+  FROM probes p
+  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """,
         "pages_extract": """
 SELECT 'https://example.com/doc/' || doc_id AS url, text AS extracted_text
