@@ -59,3 +59,31 @@ def test_partial_resume(spark, sf_dir, tmp_path):
     assert by_stage["points"].startswith("skipped")
     assert by_stage["pieces"].startswith("skipped")
     assert by_stage["prorated"] == "completed"
+
+
+def test_table_io_parquet_fallback_and_iceberg_gate(spark, sf_dir, tmp_path):
+    """write_table/read_table: parquet fallback round-trips with day
+    partitioning; Iceberg catalog targets error clearly when no catalog
+    is configured (this sandbox has no Iceberg runtime)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from maup_spark.io.table import iceberg_available, read_table, write_table
+
+    assert iceberg_available(spark) is False  # sandbox: no jars/catalog
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    target = str(tmp_path / "events_tbl")
+    write_table(ev, target, partition_col="ts")
+    back = read_table(spark, target)
+    assert back.count() == 200
+    assert set(back.columns) == set(ev.columns)  # __day stripped
+    # day partitioning actually materialized on disk
+    import os
+
+    assert any(d.startswith("__day=") for d in os.listdir(target))
+
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_table(ev, "lake.db.events")
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        read_table(spark, "lake.db.events")
