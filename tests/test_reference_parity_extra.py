@@ -142,3 +142,59 @@ def test_crop_to_monotone(spark):
         assert ca <= g.area + 1e-9
         assert ca <= win.area + 1e-9
         assert abs(ca - intersection_area(g, win)) < 1e-7
+
+
+def test_prorate_exact_values_top_left_square(spark, four_square_grid_df):
+    """Exact-value port of /root/reference/tests/test_prorate.py:18-24:
+    pieces weighted by area/source-area prorate source areas onto the
+    square_mostly_in_top_left target, reproducing target.area exactly."""
+    tgt = spark.createDataFrame(
+        [("t", sq_wkb(0.5, 0.5, 1.5, 1.5))], "tid string, geometry binary"
+    )
+    src = four_square_grid_df.selectExpr("ID AS source_id", "geometry")
+    pieces = intersections(
+        src, tgt, source_id="source_id", target_id="tid",
+        grid=GRID, area_cutoff=0,
+    )
+    # weight = piece area / source area (all sources are unit squares)
+    rel = pieces.select("source_id", "tid", F.col("area").alias("weight"))
+    data = src.selectExpr("source_id", "1.0 AS sarea")
+    out = prorate(rel, data, weights_col="weight", columns=["sarea"],
+                  source_id="source_id", target_id="tid")
+    rows = out.collect()
+    assert len(rows) == 1 and abs(rows[0]["sarea"] - 1.0) < 1e-12  # = target.area
+
+
+def test_intersections_area_cutoff(spark, four_square_grid_df):
+    """/root/reference/tests/test_intersections.py:56-58: a strict
+    area cutoff drops degenerate (shared-edge) intersections."""
+    src = four_square_grid_df.selectExpr("ID AS source_id", "geometry")
+    tgt = four_square_grid_df.selectExpr("ID AS tid", "geometry")
+    all_pairs = intersections(
+        src, tgt, source_id="source_id", target_id="tid", grid=GRID
+    )
+    pos_pairs = intersections(
+        src, tgt, source_id="source_id", target_id="tid", grid=GRID, area_cutoff=0
+    )
+    # self-join of the 2x2 grid: 4 self-overlaps (area 1) survive the
+    # cutoff; shared edges / corner touches do not
+    assert pos_pairs.count() == 4
+    assert all_pairs.count() > pos_pairs.count()
+
+
+def test_covers_diamond_bounds_not_covered(spark):
+    """/root/reference/tests/test_indexed_geometries.py diamond case:
+    a polygon inside the DIAMOND'S BBOX but outside the diamond must
+    not be assigned to it (bbox containment is not coverage)."""
+    from maup_spark import assign
+
+    diamond = Geometry.polygon([(100, 0), (0, 100), (-100, 0), (0, -100)])
+    inside_bounds = sq_wkb(90, 90, 91, 91)   # bbox yes, diamond no
+    inside_real = sq_wkb(-1, -1, 1, 1)       # genuinely inside
+    big = CellGrid(x0=-200, y0=-200, x1=200, y1=200, res=4)
+    src = spark.createDataFrame(
+        [(0, inside_bounds), (1, inside_real)], "source_id bigint, geometry binary"
+    )
+    tgt = spark.createDataFrame([(7, diamond.wkb)], "target_id bigint, geometry binary")
+    rows = {r["source_id"]: r["target_id"] for r in assign(src, tgt, grid=big).collect()}
+    assert rows == {0: None, 1: 7}
