@@ -94,6 +94,53 @@ def decode_media(payload: bytes, kind: str):
     )
 
 
+def frame_sample(
+    media: DataFrame, every_nth: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (media_id, frame_idx, frame binary, width, height).
+
+    The frame-count/index fan-out and the batch plumbing are the real
+    production shape (JVM ``sequence`` explode — the sampler never
+    touches Python until the decode); the DECODE itself is the declared
+    stub (no codecs in this container), so frame bytes are a
+    deterministic fake: utf8(md5(media_id '#' frame_idx)).  Swapping in
+    a real decoder replaces ONE pandas UDF; schema, partitioning and
+    fan-out stay identical."""
+    vids = media.filter(F.col("kind") == "video").withColumn(
+        # deterministic per-video frame count: payload length / 8 frames
+        "__n_frames",
+        F.least(
+            F.lit(max_frames), (F.length("payload") / F.lit(8)).cast("int")
+        ),
+    )
+    frames = vids.withColumn(
+        "frame_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("__n_frames") - 1, F.lit(int(every_nth))
+            )
+        ),
+    )
+    fake_frame = F.encode(
+        F.md5(
+            F.concat(
+                F.col("media_id").cast("string"),
+                F.lit("#"),
+                F.col("frame_idx").cast("string"),
+            )
+        ),
+        "UTF-8",
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        fake_frame.alias("frame"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Feature extraction over the opaque payload via mapInPandas —
     the decode step is a deterministic fake (byte stats), the batch

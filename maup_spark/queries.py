@@ -492,6 +492,19 @@ def q_intersections_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("area_x32") >= 1)
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import frame_sample, media_table
+
+    out = frame_sample(media_table(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.col("frame").cast("string").alias("frame_hex"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+
+
 def q_adjacencies_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.adjacencies import adjacencies
 
@@ -518,6 +531,7 @@ QUERIES.update(
         "ivf_topk": q_ivf_topk,
         "pages_extract": q_pages_extract,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "adjacencies_nations": q_adjacencies_nations,
         "intersections_triangles": q_intersections_triangles,
     }
@@ -695,6 +709,21 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
         "pages_extract": """
 SELECT 'https://example.com/doc/' || doc_id AS url, text AS extracted_text
 FROM documents
+""",
+        # frame fan-out mirror: payload = md5 hex x (id%5+1) repeats ->
+        # 32*(id%5+1) bytes -> n_frames = min(8, len/8); sample step 2
+        "frame_sample": """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         LEAST(8, 4 * CAST(doc_id % 5 + 1 AS INT)) AS nf,
+         doc_id % 1920 AS width, doc_id % 1080 AS height
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, UNNEST(RANGE(0, nf, 2)) AS frame_idx,
+       md5(CAST(media_id AS VARCHAR) || '#' ||
+           CAST(UNNEST(RANGE(0, nf, 2)) AS VARCHAR)) AS frame_hex,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height
+FROM v
 """,
         "media_features": """
 SELECT doc_id AS media_id,
