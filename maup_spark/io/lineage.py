@@ -38,6 +38,25 @@ class StageRunner:
     def is_done(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._stage_path(name), "_SUCCESS"))
 
+    def _success_mtime(self, name: str) -> float | None:
+        p = os.path.join(self._stage_path(name), "_SUCCESS")
+        return os.path.getmtime(p) if os.path.exists(p) else None
+
+    def is_stale(self, name: str, inputs: list[str] | None) -> bool:
+        """A completed stage is STALE when any declared input stage's
+        checkpoint is newer — re-running an upstream stage cascades
+        recomputation through every declared consumer (without this,
+        invalidating one mid-pipeline checkpoint leaves downstream
+        stages silently serving stale data)."""
+        my = self._success_mtime(name)
+        if my is None:
+            return False
+        for dep in inputs or []:
+            dep_m = self._success_mtime(dep)
+            if dep_m is not None and dep_m > my:
+                return True
+        return False
+
     def run_stage(
         self,
         name: str,
@@ -45,10 +64,11 @@ class StageRunner:
         inputs: list[str] | None = None,
     ) -> DataFrame:
         """Materialize ``build()`` at the stage path unless already
-        complete; always returns the stage output as a fresh scan (so
-        downstream stages read the checkpoint, not the lineage)."""
+        complete AND fresh w.r.t. its declared inputs; always returns
+        the stage output as a fresh scan (so downstream stages read the
+        checkpoint, not the lineage)."""
         path = self._stage_path(name)
-        if self.is_done(name):
+        if self.is_done(name) and not self.is_stale(name, inputs):
             self._log(name, "skipped (checkpoint hit)", 0, inputs)
             return self.spark.read.parquet(path)
         t0 = time.perf_counter()

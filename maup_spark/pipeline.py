@@ -1,0 +1,108 @@
+"""End-to-end training-data pipeline over the Common-Crawl-style pages
+table — the north-star workload as ONE checkpoint-resumable run:
+
+    pages ─ extract_text ─ quality gate ─ exact dedup ─ near-dup prune
+          ─ entity points ─ district assign ─ per-district rollup
+
+Every arrow is a StageRunner stage (parquet checkpoint + `_SUCCESS` +
+per-partition metrics): a preempted run resumes from the last completed
+stage; stage outputs are the Iceberg-shaped tables of io.table at
+production scale.  The per-stage operators are exactly the public ones
+the driver queries verify — the pipeline adds no private logic, only
+composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.lineage import StageRunner
+
+
+def training_data_pipeline(
+    spark: SparkSession, sf_dir: str, run_dir: str
+) -> dict[str, DataFrame]:
+    """Returns {stage: DataFrame} for the checkpointed stages; the final
+    ``district_rollup`` is per-district clean-document character mass."""
+    from . import datagen as D
+    from .functions.dedup import exact_dedup, minhash_lsh_pairs
+    from .functions.multimodal import extract_text, pages
+    from .functions.text import quality_score
+    from .operators.assign import assign_points
+
+    runner = StageRunner(spark, run_dir, run_id="training-data")
+    out: dict[str, DataFrame] = {}
+
+    # 1. ingest + HTML→text (byte-identity with the stored text is the
+    #    determinism gate, verified by the pages_extract driver query)
+    def build_docs():
+        pg = pages(spark, sf_dir)
+        extracted = extract_text(pg)
+        return extracted.withColumn(
+            "doc_id", F.split(F.col("url"), "/").getItem(4).cast("bigint")
+        ).select("doc_id", F.col("extracted_text").alias("text"))
+
+    docs = out["docs"] = runner.run_stage("docs", build_docs)
+
+    # 2. quality gate
+    def build_clean():
+        q = quality_score(docs)
+        return docs.join(q.filter(F.col("keep")).select("doc_id"), "doc_id")
+
+    clean = out["clean"] = runner.run_stage("clean", build_clean, inputs=["docs"])
+
+    # 3. exact dedup: drop non-canonical members of duplicate groups
+    def build_exact():
+        groups = exact_dedup(clean)
+        dups = (
+            clean.select("doc_id", F.md5("text").alias("fingerprint"))
+            .join(groups, "fingerprint")
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select("doc_id")
+        )
+        return clean.join(dups, "doc_id", "left_anti")
+
+    deduped = out["deduped"] = runner.run_stage(
+        "exact_dedup", build_exact, inputs=["clean"]
+    )
+
+    # 4. near-dup prune: for every LSH candidate pair keep the smaller id
+    def build_near():
+        pairs = minhash_lsh_pairs(deduped)
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        return deduped.join(losers, "doc_id", "left_anti")
+
+    surviving = out["surviving"] = runner.run_stage(
+        "near_dedup", build_near, inputs=["exact_dedup"]
+    )
+
+    # 5. entity points of surviving docs → district assignment
+    def build_assigned():
+        pts = D.points(spark, sf_dir).join(
+            surviving.select("doc_id"), "doc_id"
+        )
+        return assign_points(
+            pts,
+            D.districts(spark),
+            point_id="entity_id",
+            target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+            targets_are_rects=True,
+        ).join(pts.select("entity_id", "doc_id", "n_chars"), "entity_id")
+
+    assigned = out["assigned"] = runner.run_stage(
+        "assign", build_assigned, inputs=["near_dedup"]
+    )
+
+    # 6. per-district rollup of clean-document character mass
+    out["district_rollup"] = runner.run_stage(
+        "district_rollup",
+        lambda: assigned.groupBy("district_id").agg(
+            F.count("*").alias("n_entities"),
+            F.sum("n_chars").alias("n_chars_sum"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        ),
+        inputs=["assign"],
+    )
+    out["runner"] = runner
+    return out

@@ -1,0 +1,58 @@
+"""End-to-end training-data pipeline: correctness of the composition and
+checkpoint resume."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from maup_spark.pipeline import training_data_pipeline
+
+
+def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
+    run_dir = str(tmp_path / "run")
+    out = training_data_pipeline(spark, sf_dir, run_dir)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_clean = out["clean"].count()
+    n_dedup = out["deduped"].count()
+    n_surv = out["surviving"].count()
+    assert 0 < n_clean <= n_docs
+    assert 0 < n_surv <= n_dedup <= n_clean
+
+    rollup = out["district_rollup"]
+    rows = rollup.collect()
+    assert len(rows) > 100  # many districts populated
+    # conservation: entity count equals 64 x surviving docs minus the
+    # knocked-out-district NULL assignments
+    total_entities = rollup.agg(F.sum("n_entities")).collect()[0][0]
+    assert total_entities == n_surv * 64
+
+    # character mass conserved: sum over districts of n_chars equals
+    # 64 x the per-doc totals of surviving docs
+    doc_chars = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .join(out["surviving"].select("doc_id"), "doc_id")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    mass = rollup.agg(F.sum("n_chars_sum")).collect()[0][0]
+    assert mass == doc_chars * 64
+
+    # RESUME: a second invocation must skip every stage (checkpoint hits)
+    out2 = training_data_pipeline(spark, sf_dir, run_dir)
+    assert out2["district_rollup"].count() == len(rows)
+    manifest = [
+        json.loads(line)
+        for line in open(f"{run_dir}/_manifest.jsonl")
+    ]
+    second_run = manifest[-6:]  # six stages logged by the re-run
+    assert all("skipped" in m["status"] for m in second_run)
+
+    # per-partition metrics exist for every stage
+    stages = {
+        r["stage"] for r in out["runner"].metrics().select("stage").collect()
+    }
+    assert stages == {
+        "docs", "clean", "exact_dedup", "near_dedup", "assign",
+        "district_rollup",
+    }
