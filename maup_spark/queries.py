@@ -864,11 +864,64 @@ def q_resolve_overlaps_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doctor_overlay_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer doctor through the TILED overlay (operators/tiling):
+    symmetric difference between the dirty 1.2-lattice and the clean
+    unit lattice.  Closed form: dirty union = [0,5.2]², clean = [0,5]²
+    (clean ⊂ dirty) → sym = 5.2² − 5² = 2.04 exactly."""
+    from .operators.tiling import overlay_areas_tiled
+
+    dirty = _dirty_nation_layer(spark, sf_dir)
+    clean = D.nation_grid(spark, sf_dir).select("nation_id", "geometry")
+    a = overlay_areas_tiled(dirty, clean, tile_res=2)
+    sym = a["source"] + a["target"] - 2.0 * a["both"]
+    return spark.createDataFrame(
+        [(int(round(sym * 1e6)),)], "sym_area_e6 bigint"
+    )
+
+
+def q_tiled_holes_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitched hole counting through operators/tiling on a frame layer
+    derived from the nation table: nations 0-3 become the four bands of
+    a [0,10]² annulus with hole [3,7]² (area 16, spanning several
+    tiles).  Closed form: one hole, area 16."""
+    from .geom import vector as V
+    from .operators.tiling import hole_components_tiled
+
+    def rect_batch(x0, y0, x1, y1):
+        return V.batch_rect_wkb(
+            x0.to_numpy(), y0.to_numpy(), x1.to_numpy(), y1.to_numpy()
+        )
+
+    rect_udf = F.pandas_udf(rect_batch, "binary").asNondeterministic()
+    frame = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_nationkey") < 4)
+        .selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS fid",
+            # bands: 0=bottom [0,10]x[0,3], 1=top [0,10]x[7,10],
+            #        2=left [0,3]x[3,7],   3=right [7,10]x[3,7]
+            "CAST(CASE n_nationkey WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 7 END AS DOUBLE) AS x0",
+            "CAST(CASE n_nationkey WHEN 0 THEN 0 WHEN 1 THEN 7 WHEN 2 THEN 3 ELSE 3 END AS DOUBLE) AS y0",
+            "CAST(CASE n_nationkey WHEN 0 THEN 10 WHEN 1 THEN 10 WHEN 2 THEN 3 ELSE 10 END AS DOUBLE) AS x1",
+            "CAST(CASE n_nationkey WHEN 0 THEN 3 WHEN 1 THEN 10 WHEN 2 THEN 7 ELSE 7 END AS DOUBLE) AS y1",
+        )
+        .withColumn("geometry", rect_udf("x0", "y0", "x1", "y1"))
+        .select("fid", "geometry")
+    )
+    comps = hole_components_tiled(frame, tile_res=2)
+    return comps.select(
+        F.round(F.col("area") * F.lit(1.0e6)).cast("bigint").alias("hole_area_e6")
+    )
+
+
 QUERIES.update(
     {
         "doctor_dirty_nations": q_doctor_dirty_nations,
         "smart_repair_nations": q_smart_repair_nations,
         "resolve_overlaps_nations": q_resolve_overlaps_nations,
+        "doctor_overlay_nations": q_doctor_overlay_nations,
+        "tiled_holes_nations": q_tiled_holes_nations,
     }
 )
 
@@ -883,6 +936,16 @@ SELECT (SELECT COUNT(*) FROM g a JOIN g b
          ON a.id < b.id AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
        AS n_overlaps,
        CAST(0 AS BIGINT) AS n_holes
+""",
+        # tiled two-layer overlay: dirty union [0,5.2]^2 strictly
+        # contains the clean [0,5]^2 -> sym diff = 27.04 - 25 = 2.04
+        "doctor_overlay_nations": """
+SELECT CAST(2040000 AS BIGINT) AS sym_area_e6
+""",
+        # stitched hole counting: the 4-band annulus has exactly ONE
+        # hole, [3,7]^2 = 16, regardless of how many tiles it spans
+        "tiled_holes_nations": """
+SELECT CAST(16000000 AS BIGINT) AS hole_area_e6
 """,
         # closed-form repaired areas.  smart_repair assigns every overlap
         # piece between lattice cells to the piece's max-shared-boundary
