@@ -33,6 +33,7 @@ from ..index.cells import CellGrid
 from .spatial import (
     DEFAULT_GRID,
     candidate_pairs,
+    covers_udf,
     geom_broadcast,
     make_covers_by_id_udf,
     make_dist_by_id_udf,
@@ -55,13 +56,17 @@ def assign_points(
     targets_are_rects: bool = False,
     knn_fallback: bool = False,
     knn_coarsen: int = 3,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """Point-in-polygon assignment of points to a polygon layer.
 
     Returns ``DataFrame[point_id, target_id, method]`` with one row per
     input point; ``target_id`` NULL = unassigned (maup's NaN).  The
     point side never leaves the JVM until the PIP refine; its cell id is
-    a codegen'd expression.
+    a codegen'd expression.  ``broadcast_targets=False`` (10^6+ polygon
+    layers): target WKB shards across the cluster through a shuffle
+    cell join instead of a driver dict; the kNN fallback still
+    broadcasts (it touches only the unmatched minority).
     """
     pts = points.select(point_id, x, y).withColumn(
         "cell_id", point_cell_col(grid, x, y)
@@ -71,19 +76,26 @@ def assign_points(
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
-    bc = geom_broadcast(tgt_small, "__tid", "__tgeom")
+    keep_geom = not (targets_are_rects and target_bounds) and not broadcast_targets
+    bc = geom_broadcast(tgt_small, "__tid", "__tgeom") if (
+        broadcast_targets and not (targets_are_rects and target_bounds)
+    ) or knn_fallback else None
     tgt = with_cell_cover(
         tgt_small,
         grid,
         geom_col="__tgeom",
         bounds_cols=target_bounds,
-    ).drop("__tgeom")
+    )
+    if not keep_geom:
+        tgt = tgt.drop("__tgeom")
     # LEFT join keeps every point (NULL __tid when no target covers its
     # cell), so a single groupBy produces the full one-row-per-point
     # result — the only shuffle in the operator.  A point interior to 2+
     # overlapping targets falls through to NULL (the reference drops
     # multi-covered sources, /root/reference/maup/indexed_geometries.py:58-71).
-    cand = pts.join(F.broadcast(tgt), "cell_id", "left")
+    cand = pts.join(
+        F.broadcast(tgt) if broadcast_targets else tgt, "cell_id", "left"
+    )
     if targets_are_rects and target_bounds:
         # rect targets: PIP is codegen'd bounds arithmetic — the whole
         # operator is JVM-only.  Closed bounds reproduce the reference's
@@ -97,9 +109,13 @@ def assign_points(
             & (F.col(y) >= by0)
             & (F.col(y) <= by1)
         )
-    else:
+    elif broadcast_targets:
         pip_by_id = make_pip_by_id_udf(bc)
         inside = pip_by_id(F.col(x), F.col(y), F.col("__tid"))
+    else:
+        from .spatial import pip_udf
+
+        inside = pip_udf(F.col(x), F.col(y), F.col("__tgeom"))
     hit_tid = F.when(F.col("__tid").isNotNull() & inside, F.col("__tid"))
     out = (
         cand.withColumn("__hit", hit_tid)
@@ -238,6 +254,7 @@ def assign(
     source_bounds: tuple | None = None,
     target_bounds: tuple | None = None,
     warn_unassigned: bool = False,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """Polygon→polygon assignment (reference semantics above).
 
@@ -245,7 +262,8 @@ def assign(
     source; NULL target = unassigned.  ``warn_unassigned=True`` emits
     the reference's AssignmentWarning with the NULL count
     (/root/reference/maup/assign.py:29-35) — opt-in because the count
-    is an extra Spark job on the hot path.
+    is an extra Spark job on the hot path.  ``broadcast_targets=False``
+    ships target WKB through the salted shuffle join (no driver dict).
     """
     src = sources.select(
         F.col(source_id).alias("__sid"),
@@ -257,15 +275,19 @@ def assign(
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
-    bc = geom_broadcast(tgt, "__tid", "__tgeom")
     cand = candidate_pairs(
         src, tgt, grid, "__sgeom", "__tgeom",
         source_bounds=source_bounds, target_bounds=target_bounds,
-        drop_target_geom=True,
+        broadcast_targets=broadcast_targets,
+        drop_target_geom=broadcast_targets,
     )
-    covers_by_id = make_covers_by_id_udf(bc)
+    if broadcast_targets:
+        bc = geom_broadcast(tgt, "__tid", "__tgeom")
+        covers_pred = make_covers_by_id_udf(bc)(F.col("__tid"), F.col("__sgeom"))
+    else:
+        covers_pred = covers_udf(F.col("__tgeom"), F.col("__sgeom"))
     covered = (
-        cand.filter(covers_by_id(F.col("__tid"), F.col("__sgeom")))
+        cand.filter(covers_pred)
         .groupBy("__sid")
         .agg(F.min("__tid").alias("__tid"), F.count("*").alias("__n"))
         .filter(F.col("__n") == 1)
@@ -285,6 +307,7 @@ def assign(
         grid,
         source_bounds=source_bounds,
         target_bounds=target_bounds,
+        broadcast_targets=broadcast_targets,
     )
 
     phase1 = covered.select(
@@ -363,6 +386,7 @@ def assign_by_area(
     grid: CellGrid = DEFAULT_GRID,
     source_bounds: tuple | None = None,
     target_bounds: tuple | None = None,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """argmax_t area(source ∩ target) over strictly-positive-area pairs
     (/root/reference/maup/assign.py:45-46)."""
@@ -376,14 +400,22 @@ def assign_by_area(
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
-    bc = geom_broadcast(tgt, "__tid", "__tgeom")
     cand = candidate_pairs(
         src, tgt, grid, "__sgeom", "__tgeom",
         source_bounds=source_bounds, target_bounds=target_bounds,
-        drop_target_geom=True,
+        broadcast_targets=broadcast_targets,
+        drop_target_geom=broadcast_targets,
     )
-    ia_by_id = make_intersection_area_by_id_udf(bc)
-    pairs = cand.withColumn("__area", ia_by_id(F.col("__tid"), F.col("__sgeom")))
+    if broadcast_targets:
+        bc = geom_broadcast(tgt, "__tid", "__tgeom")
+        ia_by_id = make_intersection_area_by_id_udf(bc)
+        area_col = ia_by_id(F.col("__tid"), F.col("__sgeom"))
+    else:
+        from ..geom import vector as V
+
+        pair_area = F.pandas_udf(V.batch_intersection_area, "double")
+        area_col = pair_area(F.col("__tgeom"), F.col("__sgeom"))
+    pairs = cand.withColumn("__area", area_col)
     pairs = pairs.filter(F.col("__area") > 0)
     return assign_to_max(
         pairs.select(

@@ -79,3 +79,37 @@ def test_adjacencies_shuffle_path_matches_broadcast(spark):
     sh = adjacencies(df, broadcast=False, broadcast_geoms=False, **kw)
     key = lambda r: (r["id_i"], r["id_j"], round(r["area"], 12), round(r["length"], 12))
     assert sorted(map(key, bc.collect())) == sorted(map(key, sh.collect()))
+
+
+def test_assign_shuffle_path_matches_broadcast(spark, four_square_grid_df, inner_squares_df):
+    from maup_spark.operators.assign import assign
+
+    src = inner_squares_df.select(F.col("id").alias("source_id"), "geometry")
+    tgt = four_square_grid_df.selectExpr("ID AS target_id", "geometry")
+    kw = dict(source_id="source_id", target_id="target_id", grid=GRID)
+    a = {(r["source_id"], r["target_id"]) for r in assign(src, tgt, broadcast_targets=True, **kw).collect()}
+    b = {(r["source_id"], r["target_id"]) for r in assign(src, tgt, broadcast_targets=False, **kw).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_assign_points_shuffle_path_matches_broadcast(spark):
+    from maup_spark.geom.base import Geometry
+    from maup_spark.operators.assign import assign_points
+
+    # non-rect targets: two triangles + points inside/outside
+    t1 = Geometry.polygon([(0, 0), (4, 0), (0, 4)])
+    t2 = Geometry.polygon([(5, 5), (9, 5), (5, 9)])
+    tgt = spark.createDataFrame(
+        [(0, t1.wkb), (1, t2.wkb)], "district_id bigint, geometry binary"
+    )
+    pts = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 6.0, 5.5), (2, 3.9, 3.9), (3, -5.0, -5.0)],
+        "entity_id bigint, lon double, lat double",
+    )
+    kw = dict(point_id="entity_id", grid=GRID)
+    a = {(r["entity_id"], r["district_id"])
+         for r in assign_points(pts, tgt, broadcast_targets=True, **kw).collect()}
+    b = {(r["entity_id"], r["district_id"])
+         for r in assign_points(pts, tgt, broadcast_targets=False, **kw).collect()}
+    assert a == b
+    assert a == {(0, 0), (1, 1), (2, None), (3, None)}
