@@ -92,7 +92,11 @@ def intersections(
     points) are kept, as the reference keeps every nonempty geometry
     (/root/reference/maup/indexed_geometries.py:31-34); ``area_cutoff``
     applies the strict ``area > cutoff`` filter of
-    /root/reference/maup/intersections.py:48-51.
+    /root/reference/maup/intersections.py:48-51.  The reference's
+    ``output_type`` switch (MultiIndex GeoSeries vs range-indexed
+    GeoDataFrame, :9-53) is a pandas-index artifact — both are this
+    same (source, target, geometry) relation, which is the only shape a
+    DataFrame engine has.
     """
     if rect_layers:
         if not (source_bounds and target_bounds):
