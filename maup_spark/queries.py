@@ -915,6 +915,43 @@ def q_tiled_holes_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_close_gaps_pacman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """close_gaps on the reference's exact pacman fixture
+    (/root/reference/tests/test_holes.py:105-121), keyed by nation rows:
+    the mouth gap [1,2]×[1,2] absorbs into the pacman (max shared
+    perimeter), the bar is untouched → areas exactly 6 and 3."""
+    from .geom.base import Geometry
+    from .geom import vector as V
+    from .index.cells import CellGrid
+    from .operators.repair import close_gaps
+    import pandas as pd
+
+    pac = Geometry.polygon(
+        [(0, 0), (0, 3), (2, 3), (2, 2), (1, 2), (1, 1), (2, 1), (2, 0)]
+    ).wkb
+    bar = Geometry.polygon([(2, 0), (2, 3), (3, 3), (3, 0)]).wkb
+
+    def build(ids):
+        return pd.Series([pac if i == 0 else bar for i in ids])
+
+    geom_udf = F.pandas_udf(build, "binary").asNondeterministic()
+    layer = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_nationkey") < 2)
+        .select(F.col("n_nationkey").cast("bigint").alias("gid"))
+        .withColumn("geometry", geom_udf("gid"))
+    )
+    grid = CellGrid(x0=-1, y0=-1, x1=4, y1=4, res=3)
+    fixed = close_gaps(layer, id_col="gid", relative_threshold=None, grid=grid)
+    area_udf = F.pandas_udf(V.batch_area, "double")
+    return fixed.select(
+        "gid",
+        F.round(area_udf(F.col("geometry")) * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("area_e6"),
+    )
+
+
 QUERIES.update(
     {
         "doctor_dirty_nations": q_doctor_dirty_nations,
@@ -922,6 +959,7 @@ QUERIES.update(
         "resolve_overlaps_nations": q_resolve_overlaps_nations,
         "doctor_overlay_nations": q_doctor_overlay_nations,
         "tiled_holes_nations": q_tiled_holes_nations,
+        "close_gaps_pacman": q_close_gaps_pacman,
     }
 )
 
@@ -936,6 +974,14 @@ SELECT (SELECT COUNT(*) FROM g a JOIN g b
          ON a.id < b.id AND abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1)
        AS n_overlaps,
        CAST(0 AS BIGINT) AS n_holes
+""",
+        # reference pacman fixture: mouth gap (area 1) absorbs into the
+        # pacman (6), bar untouched (3)
+        "close_gaps_pacman": """
+SELECT CAST(n_nationkey AS BIGINT) AS gid,
+       CAST(CASE WHEN n_nationkey = 0 THEN 6000000 ELSE 3000000 END AS BIGINT)
+         AS area_e6
+FROM nation WHERE n_nationkey < 2
 """,
         # tiled two-layer overlay: dirty union [0,5.2]^2 strictly
         # contains the clean [0,5]^2 -> sym diff = 27.04 - 25 = 2.04

@@ -113,3 +113,30 @@ def test_assign_points_shuffle_path_matches_broadcast(spark):
          for r in assign_points(pts, tgt, broadcast_targets=False, **kw).collect()}
     assert a == b
     assert a == {(0, 0), (1, 1), (2, None), (3, None)}
+
+
+def test_general_intersections_shuffle_path_triangles(spark):
+    """Arrangement kernel + non-broadcast refine combined: triangles x
+    rects through the general overlay must be identical on both join
+    paths."""
+    from maup_spark.geom.base import Geometry
+
+    pts = [(-3.0, -2.0), (0.25, 0.5), (2.0, 1.75), (-1.5, 3.0), (4.0, -4.0)]
+    tris = [
+        (i, Geometry.polygon([(x, y), (x + 2.5, y), (x, y + 2.5)]).wkb)
+        for i, (x, y) in enumerate(pts)
+    ]
+    src = spark.createDataFrame(tris, "id bigint, geometry binary")
+    cells = [
+        (j, sq_wkb(cx, cy, cx + 2, cy + 2))
+        for j, (cx, cy) in enumerate(
+            (x, y) for x in (-4, -2, 0, 2, 4) for y in (-4, -2, 0, 2, 4)
+        )
+    ]
+    tgt = spark.createDataFrame(cells, "tid bigint, geometry binary")
+    kw = dict(source_id="id", target_id="tid", grid=GRID, area_cutoff=0.0)
+    a = intersections(src, tgt, broadcast_targets=True, **kw)
+    b = intersections(src, tgt, broadcast_targets=False, **kw)
+    key = lambda r: (r["id"], r["tid"], round(r["area"], 12))
+    ka, kb = sorted(map(key, a.collect())), sorted(map(key, b.collect()))
+    assert ka == kb and len(ka) > 10
