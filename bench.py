@@ -68,10 +68,14 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
         # when a custom query list is benched, e2e = its total
         if "assign_points" in timings and "prorate_nchars" in timings:
             e2e = timings["assign_points"] + timings["prorate_nchars"]
+            metric = "assign+prorate e2e throughput"
         else:
             e2e = sum(timings.values())
+            # custom query list (e.g. scaling mode): label the metric by
+            # what was actually measured, not the default headline pair
+            metric = "+".join(headline) + " e2e throughput"
         return {
-            "metric": "assign+prorate e2e throughput",
+            "metric": metric,
             "value": round(n_docs / e2e, 1),
             "unit": "docs/sec",
             "queries": timings,

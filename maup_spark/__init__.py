@@ -32,6 +32,7 @@ from .operators.intersections import intersections, prorate
 from .operators.normalize import normalize
 from .operators.repair import (
     absorb_by_shared_perimeter,
+    autorepair,
     close_gaps,
     count_holes,
     crop_to,
@@ -80,6 +81,7 @@ __all__ = [
     "union_area_tiled",
     "assign",
     "assign_by_area",
+    "autorepair",
     "assign_by_covering",
     "assign_points",
     "assign_to_max",

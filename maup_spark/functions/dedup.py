@@ -91,10 +91,13 @@ def minhash_lsh_pairs(
     set equals the any-band-match set with one fewer shuffle.
 
     ``max_bucket`` drops runaway buckets (boilerplate shingle sets at
-    web scale) per band before its join — a quadratic-blowup guard; a
-    pair whose first matching band is capped is suppressed (heuristic,
-    documented).  None keeps every bucket (exact LSH semantics, the
-    default)."""
+    web scale) per band before its join — a quadratic-blowup guard.
+    Capping is PER BAND: a doc in a hot band-b bucket is excluded from
+    band b's join only, and stays a candidate in every other band; a
+    capped earlier band also stops vetoing later bands (its "no earlier
+    band matched" conjunct is waived), so a pair is suppressed only if
+    EVERY band where its keys match is over the cap.  None keeps every
+    bucket (exact LSH semantics, the default)."""
     mh = minhash_signatures(docs, text_col)
 
     def key_col(side: str, j: int) -> F.Column:
@@ -104,17 +107,21 @@ def minhash_lsh_pairs(
 
     wide = mh
     if max_bucket is not None:
-        # per-band hot-key tables (tiny: only keys over the cap)
+        # per-band hot flags (hot tables are tiny: only keys over the cap)
         for b in range(N_BANDS):
             bk = F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
             hot = (
-                mh.select(bk.alias("__k"))
-                .groupBy("__k")
+                mh.select(bk.alias(f"__hk{b}"))
+                .groupBy(f"__hk{b}")
                 .count()
                 .filter(F.col("count") > max_bucket)
-                .select("__k")
+                .drop("count")
             )
-            wide = wide.join(F.broadcast(hot), bk == F.col("__k"), "left_anti")
+            wide = (
+                wide.join(F.broadcast(hot), bk == F.col(f"__hk{b}"), "left")
+                .withColumn(f"__hot{b}", F.col(f"__hk{b}").isNotNull())
+                .drop(f"__hk{b}")
+            )
 
     out = None
     for b in range(N_BANDS):
@@ -123,8 +130,16 @@ def minhash_lsh_pairs(
         cond = (key_col("a", b) == key_col("b", b)) & (
             F.col("a.doc_id") < F.col("b.doc_id")
         )
+        if max_bucket is not None:
+            # matching keys ⇒ both sides share the hot flag; test one
+            cond = cond & ~F.col(f"a.__hot{b}")
         for j in range(b):
-            cond = cond & (key_col("a", j) != key_col("b", j))
+            earlier_no_emit = key_col("a", j) != key_col("b", j)
+            if max_bucket is not None:
+                # a capped band j could not have emitted the pair, so a
+                # band-j key match there must not veto this band
+                earlier_no_emit = earlier_no_emit | F.col(f"a.__hot{j}")
+            cond = cond & earlier_no_emit
         part = a.join(c, cond).select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

@@ -107,12 +107,20 @@ def frame_sample(
     deterministic fake: utf8(md5(media_id '#' frame_idx)).  Swapping in
     a real decoder replaces ONE pandas UDF; schema, partitioning and
     fan-out stay identical."""
-    vids = media.filter(F.col("kind") == "video").withColumn(
-        # deterministic per-video frame count: payload length / 8 frames
-        "__n_frames",
-        F.least(
-            F.lit(max_frames), (F.length("payload") / F.lit(8)).cast("int")
-        ),
+    vids = (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            # deterministic per-video frame count: payload length / 8 frames
+            "__n_frames",
+            F.least(
+                F.lit(max_frames),
+                (F.length("payload") / F.lit(8)).cast("int"),
+            ),
+        )
+        # a sub-8-byte payload would yield sequence(0, -1) and throw at
+        # runtime ("Illegal sequence boundaries"); such a video has no
+        # sampleable frame, so drop it before the explode
+        .filter(F.col("__n_frames") >= 1)
     )
     frames = vids.withColumn(
         "frame_idx",

@@ -73,4 +73,12 @@ def connected_components(
         lab = new
         if changed == 0:
             break
+    else:
+        # unconverged labels would silently split one component across two
+        # group keys downstream (per-component repair would then leave
+        # cross-group overlaps unresolved) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter"
+        )
     return lab

@@ -374,6 +374,11 @@ def quick_repair(
     )
 
 
+# deprecated alias kept by the reference for backwards compatibility
+# (/root/reference/maup/repair.py:178) — expose both names here too
+autorepair = quick_repair
+
+
 # ------------------------------------------------------------- map stages
 
 
@@ -514,10 +519,25 @@ def expand_to(
     subtracts only the LOCAL union of its cell-candidate sources; a
     target with no candidates is leftover wholesale.  No global source
     union is ever built."""
+    from pyspark.sql import Window
+
     from .spatial import candidate_pairs
 
+    # real per-row key, not a bare geometry hash: a 64-bit collision (or
+    # duplicate identical target rows) must NOT merge two targets into one
+    # grouped-subtract group.  row_number within the hash bucket makes the
+    # key unique and stays deterministic across re-evaluation (buckets are
+    # ~1 row; ties are byte-identical rows, interchangeable by value).
+    hash_bucket = Window.partitionBy(F.xxhash64("geometry")).orderBy(
+        "geometry"
+    )
     tgt = target.select(
-        F.xxhash64("geometry").alias("__tkey"), F.col("geometry").alias("__t")
+        F.concat_ws(
+            "#",
+            F.xxhash64("geometry").cast("string"),
+            F.row_number().over(hash_bucket).cast("string"),
+        ).alias("__tkey"),
+        F.col("geometry").alias("__t"),
     )
     cand = candidate_pairs(
         tgt,
@@ -621,6 +641,8 @@ def doctor(
 
         areas = overlay_areas_tiled(source, target)
         sym_area = areas["source"] + areas["target"] - 2.0 * areas["both"]
+        stats["source_union_area"] = areas["source"]
+        stats["target_union_area"] = areas["target"]
         stats["symmetric_difference_area"] = sym_area
         if abs(sym_area) > 1e-9:
             stats["healthy"] = False

@@ -321,9 +321,15 @@ def salted_join(
     AQE's skew-join splitting remains enabled as the backstop — this
     handles the skew Catalyst cannot see coming (pre-aggregated
     geometry fan-out).
+
+    The join carries a ``shuffle_hash`` hint: the caller chose the
+    non-broadcast path because the "small" side is too big to broadcast
+    at production scale — Catalyst's size estimate on test-scale data
+    would silently pick BroadcastHashJoin and the plan under test would
+    not be the plan that ships.
     """
     if not salts:
-        return big.join(small, cell_col)
+        return big.join(small.hint("shuffle_hash"), cell_col)
     salt_map = F.create_map(
         *[F.lit(v) for kv in salts.items() for v in kv]
     )
@@ -337,7 +343,9 @@ def salted_join(
     ).withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.col("__k") - 1))
     ).drop("__k")
-    return bigk.join(smallk, [cell_col, "__salt"]).drop("__salt")
+    return bigk.join(smallk.hint("shuffle_hash"), [cell_col, "__salt"]).drop(
+        "__salt"
+    )
 
 
 def candidate_pairs(

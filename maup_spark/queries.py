@@ -424,7 +424,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_intersections_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_intersections_triangles(
+    spark: SparkSession, sf_dir: str, broadcast_targets: bool = True
+) -> DataFrame:
     """Arrangement-kernel oracle: right triangles × a 2° cell lattice
     through the GENERAL polygon overlay (``rect_layers=False`` — every
     pair runs the planar-arrangement boolean kernel, not the LEAST/
@@ -437,6 +439,11 @@ def q_intersections_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     float noise (~1e-12) disappears under ROUND(area*32).  The oracle
     integrates the clipped triangle in closed form (piecewise trapezoid
     under the hypotenuse).
+
+    ``broadcast_targets=False`` drives the salted-shuffle path (WKB
+    rides the join; SortMergeJoin/ShuffledHashJoin, no
+    BroadcastExchange) — registered as its own driver query so the
+    big-both-sides plan is oracle-gated, not just parity-tested.
     """
     from .geom import vector as V
 
@@ -484,12 +491,22 @@ def q_intersections_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_bounds=("cx0", "cy0", "cx1", "cy1"),
         rect_layers=False,
         keep_geometry=True,
+        broadcast_targets=broadcast_targets,
     )
     return ix.select(
         "entity_id",
         "cell_id",
         F.round(F.col("area") * F.lit(32.0)).cast("bigint").alias("area_x32"),
     ).filter(F.col("area_x32") >= 1)
+
+
+def q_intersections_triangles_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same arrangement overlay, forced down the non-broadcast path:
+    salted shuffle join on cell id, geometry WKB carried through the
+    join (the plan a 100 TB polygon×polygon overlay would run)."""
+    return q_intersections_triangles(spark, sf_dir, broadcast_targets=False)
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,6 +551,7 @@ QUERIES.update(
         "frame_sample": q_frame_sample,
         "adjacencies_nations": q_adjacencies_nations,
         "intersections_triangles": q_intersections_triangles,
+        "intersections_triangles_shuffle": q_intersections_triangles_shuffle,
     }
 )
 
@@ -786,6 +804,9 @@ SELECT entity_id, cell_id, area_x32 FROM areas WHERE area_x32 >= 1
 """,
     }
 )
+
+# the shuffle-path variant computes the identical relation — same oracle
+ORACLES["intersections_triangles_shuffle"] = ORACLES["intersections_triangles"]
 
 
 # --------------------------------------------------------- repair queries
