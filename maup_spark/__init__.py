@@ -50,6 +50,7 @@ from .operators.smart_repair import smart_repair
 from .operators.tiling import (
     count_holes_tiled,
     hole_components_tiled,
+    holes_of_union_tiled,
     overlay_areas_tiled,
     union_area_tiled,
 )
@@ -93,6 +94,7 @@ __all__ = [
     "expand_to",
     "get_spark",
     "holes_of_union",
+    "holes_of_union_tiled",
     "intersections",
     "islands",
     "make_valid_df",

@@ -18,9 +18,11 @@ Physical shapes:
 - *diagnostics* (doctor overlay areas, hole counting) run per-coarse-
   tile with boundary stitching (operators.tiling) — no union of the
   layer exists anywhere, driver or executor;
-- *holes_of_union* (when hole GEOMETRY is needed, e.g. close_gaps) is
-  an executor-side tree union (partials → fan-in → one final task);
-  only the anomaly-sized hole rows leave that task;
+- *holes_of_union* (when hole GEOMETRY is needed, e.g. close_gaps)
+  stitches per-tile free-space pieces into hole components and unions
+  only the anomaly-sized pieces of each hole (operators.tiling) — no
+  union of the layer exists anywhere, not even as one final task
+  (``method="tree"`` keeps the old executor-side tree union);
 - *absorb* is an intersections join (weight = shared boundary length) →
   window top-1 → grouped-map union per target.
 """
@@ -86,14 +88,35 @@ def union_all_df(geoms: DataFrame, geom_col: str = "geometry") -> Geometry:
     return Geometry.from_wkb(rows[0][geom_col])
 
 
-def holes_of_union(geoms: DataFrame, geom_col: str = "geometry") -> DataFrame:
-    """Interior rings of union(geoms) as rows (hole_id, geometry, area).
+def holes_of_union(
+    geoms: DataFrame,
+    geom_col: str = "geometry",
+    tile_res: int = 2,
+    method: str = "tiled",
+) -> DataFrame:
+    """Interior rings of union(geoms) as rows (hole_id, geometry, area)
+    (/root/reference/maup/repair.py:74-103).
 
-    Exact path: tree union on executors, hole extraction in the final
-    union task — no geometry ever collects to the driver.  The output
-    (holes) is anomaly-sized by assumption.  For counting/diagnostics at
-    scale prefer ``operators.tiling.count_holes_tiled`` (no global union
-    at all)."""
+    Default path is the TILED stitcher (operators.tiling
+    ``holes_of_union_tiled``): per-tile free pieces → cross-tile
+    component stitch → one grouped union per hole.  No union of the
+    layer exists anywhere — not on the driver, not in a single final
+    task; the only grouped work is per-HOLE, and holes are
+    anomaly-sized by assumption even when the layer is not.
+
+    ``method="tree"`` keeps the executor-side tree union (partials →
+    fan-in → ONE final task extracting the rings).  Exact and
+    driver-free, but the final task unions the partials of the whole
+    layer — use only when the layer union itself is known to be small.
+    """
+    if method == "tiled":
+        from .tiling import holes_of_union_tiled
+
+        return holes_of_union_tiled(geoms, geom_col, tile_res).select(
+            "hole_id", "geometry", "area"
+        )
+    if method != "tree":
+        raise ValueError(f"unknown holes_of_union method {method!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geoms_acc = []

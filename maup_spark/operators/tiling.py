@@ -174,12 +174,15 @@ def free_pieces_tiled(
     restricted to each tile of the layer-bbox grid, plus their 1-D
     traces on shared tile edges for stitching.
 
-    pieces:    DataFrame[piece_key, cell_id, area, touches_outer]
+    pieces:    DataFrame[piece_key, cell_id, area, touches_outer, wkb]
     intervals: DataFrame[piece_key, edge_key, lo, hi]
 
     EVERY tile of the grid is enumerated (a right-join against
     ``spark.range(n²)``) so holes spanning geometry-free tiles keep
-    their connectivity.
+    their connectivity.  ``wkb`` is the piece geometry — it rides only
+    the piece rows (one per piece, not per interval), so stitched hole
+    GEOMETRY can be reassembled per component without ever building a
+    layer union.
     """
     spark = geoms.sparkSession
     grid = tile_grid_for(geoms, tile_res, geom_col)
@@ -201,7 +204,7 @@ def free_pieces_tiled(
         free = tile.difference(union_all(clips)) if clips else tile
         rows = {
             "piece_key": [], "cell_id": [], "area": [], "touches_outer": [],
-            "edge_key": [], "lo": [], "hi": [],
+            "edge_key": [], "lo": [], "hi": [], "wkb": [],
         }
         for p_idx, rings in enumerate(free.polygons()):
             piece = Geometry("Polygon", rings)
@@ -236,6 +239,8 @@ def free_pieces_tiled(
                 rows["edge_key"].append(ek)
                 rows["lo"].append(lo)
                 rows["hi"].append(hi)
+                # geometry rides the FIRST row of each piece only
+                rows["wkb"].append(piece.wkb if not emitted else None)
                 emitted = True
             if not emitted:  # interior piece: node with no stitch edges
                 rows["piece_key"].append(key)
@@ -245,19 +250,22 @@ def free_pieces_tiled(
                 rows["edge_key"].append(None)
                 rows["lo"].append(0.0)
                 rows["hi"].append(0.0)
+                rows["wkb"].append(piece.wkb)
         return pd.DataFrame(rows)
 
     flat = work.groupBy("cell_id").applyInPandas(
         per_tile,
         schema=(
             "piece_key bigint, cell_id bigint, area double, "
-            "touches_outer boolean, edge_key string, lo double, hi double"
+            "touches_outer boolean, edge_key string, lo double, hi double, "
+            "wkb binary"
         ),
     )
     flat = flat.localCheckpoint(eager=False)  # per-tile stage runs once
     pieces = flat.groupBy("piece_key", "cell_id").agg(
         F.first("area").alias("area"),
         F.first("touches_outer").alias("touches_outer"),
+        F.first("wkb", ignorenulls=True).alias("wkb"),
     )
     intervals = flat.filter(F.col("edge_key").isNotNull()).select(
         "piece_key", "edge_key", "lo", "hi"
@@ -265,11 +273,12 @@ def free_pieces_tiled(
     return pieces, intervals, grid
 
 
-def hole_components_tiled(
-    geoms: DataFrame, geom_col: str = "geometry", tile_res: int = 2
+def _labeled_hole_pieces(
+    geoms: DataFrame, geom_col: str, tile_res: int
 ) -> DataFrame:
-    """DataFrame[comp, area, n_pieces] — one row per hole of ∪geoms
-    (free-space components not reaching the outer bbox boundary)."""
+    """Free-space pieces labeled with their stitched component, the
+    component restricted to HOLES (components never reaching the outer
+    bbox boundary).  DataFrame[piece_key, comp, area, wkb]."""
     from .components import connected_components
 
     pieces, intervals, _ = free_pieces_tiled(geoms, geom_col, tile_res)
@@ -297,15 +306,61 @@ def hole_components_tiled(
     labeled = pieces.join(
         comp.withColumnRenamed("node", "piece_key"), "piece_key"
     )
+    outer_comps = (
+        labeled.filter(F.col("touches_outer"))
+        .select("comp")
+        .distinct()
+    )
+    return labeled.join(outer_comps, "comp", "left_anti").select(
+        "piece_key", "comp", "area", "wkb"
+    )
+
+
+def hole_components_tiled(
+    geoms: DataFrame, geom_col: str = "geometry", tile_res: int = 2
+) -> DataFrame:
+    """DataFrame[comp, area, n_pieces] — one row per hole of ∪geoms
+    (free-space components not reaching the outer bbox boundary)."""
     return (
-        labeled.groupBy("comp")
-        .agg(
-            F.sum("area").alias("area"),
-            F.count("*").alias("n_pieces"),
-            F.max(F.col("touches_outer").cast("int")).alias("__outer"),
-        )
-        .filter(F.col("__outer") == 0)
-        .drop("__outer")
+        _labeled_hole_pieces(geoms, geom_col, tile_res)
+        .groupBy("comp")
+        .agg(F.sum("area").alias("area"), F.count("*").alias("n_pieces"))
+    )
+
+
+def holes_of_union_tiled(
+    geoms: DataFrame, geom_col: str = "geometry", tile_res: int = 2
+) -> DataFrame:
+    """Stitched hole GEOMETRY without any layer union, single-task or
+    otherwise: per-tile free pieces → component stitch → one grouped
+    union per HOLE (a hole's pieces are anomaly-sized by assumption —
+    the layer may be 100 TB, its gaps are not).
+
+    Matches the reference's ``holes_of_union`` semantics
+    (/root/reference/maup/repair.py:74-103): each hole is the FULL ring
+    disk — islands (geometries floating inside a gap) are covered, so
+    after the per-component union of free pieces the interior rings of
+    the assembled polygon are dropped (exterior-ring fill).
+
+    Returns DataFrame[hole_id, geometry, area].
+    """
+    hole_pieces = _labeled_hole_pieces(geoms, geom_col, tile_res)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = union_all([Geometry.from_wkb(b) for b in pdf["wkb"]])
+        # exterior-ring fill: reference holes are the full ring disk.
+        # A stitched component is one polygon by construction; the loop
+        # (with a per-part id offset) only guards numeric degeneracy.
+        ids, wkbs, areas = [], [], []
+        for k, rings in enumerate(u.polygons()):
+            filled = Geometry("Polygon", [rings[0]])
+            ids.append(int(pdf["comp"].iloc[0]) * 64 + k)
+            wkbs.append(filled.wkb)
+            areas.append(filled.area)
+        return pd.DataFrame({"hole_id": ids, "geometry": wkbs, "area": areas})
+
+    return hole_pieces.groupBy("comp").applyInPandas(
+        assemble, schema="hole_id bigint, geometry binary, area double"
     )
 
 

@@ -104,3 +104,52 @@ def test_doctor_symmetric_difference_tiled(spark):
     stats2 = doctor(src, shifted, id_col="id")
     assert stats2["symmetric_difference_area"] == pytest.approx(4.0, abs=1e-9)
     assert stats2["healthy"] is False
+
+
+def test_holes_of_union_tiled_geometry_stitch(spark):
+    """Stitched hole GEOMETRY: a hole spanning multiple tiles must come
+    back as one polygon matching the tree-union path exactly."""
+    from maup_spark.geom.base import Geometry
+    from maup_spark.operators.repair import holes_of_union
+    from maup_spark.operators.tiling import holes_of_union_tiled
+
+    # [0,10]² annulus with hole [3,7]² — the hole crosses tile lines at
+    # res=2 (tiles of 2.5); bands overlap 2-D at the corners
+    rows = [
+        (0, sq_wkb(0, 0, 10, 3)),
+        (1, sq_wkb(0, 7, 10, 10)),
+        (2, sq_wkb(0, 2, 3, 8)),
+        (3, sq_wkb(7, 2, 10, 8)),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, geometry binary")
+    tiled = holes_of_union_tiled(df, tile_res=2).collect()
+    assert len(tiled) == 1
+    g = Geometry.from_wkb(tiled[0]["geometry"])
+    assert tiled[0]["area"] == pytest.approx(16.0, abs=1e-7)
+    assert g.area == pytest.approx(16.0, abs=1e-7)
+    x0, y0, x1, y1 = g.bounds
+    assert (x0, y0, x1, y1) == pytest.approx((3, 3, 7, 7), abs=1e-7)
+
+    tree = holes_of_union(df, method="tree").collect()
+    assert len(tree) == 1
+    assert tree[0]["area"] == pytest.approx(tiled[0]["area"], abs=1e-7)
+
+
+def test_holes_of_union_tiled_island_fill(spark):
+    """Reference semantics: a hole is the FULL ring disk — an island
+    floating inside the gap is covered by the emitted hole polygon."""
+    from maup_spark.geom.base import Geometry
+    from maup_spark.operators.tiling import holes_of_union_tiled
+
+    big = Geometry.polygon(
+        [(0, 0), (6, 0), (6, 6), (0, 6)],
+        holes=[[(1, 1), (1, 5), (5, 5), (5, 1)]],
+    ).wkb
+    island = sq_wkb(2, 2, 4, 4)
+    df = spark.createDataFrame(
+        [(0, big), (1, island)], "id bigint, geometry binary"
+    )
+    out = holes_of_union_tiled(df, tile_res=2).collect()
+    assert len(out) == 1
+    # full ring disk 4x4 = 16, NOT 16 - 4 (free space excludes the island)
+    assert out[0]["area"] == pytest.approx(16.0, abs=1e-7)
