@@ -47,6 +47,7 @@ from .operators.repair import (
     snap_to_grid,
 )
 from .operators.smart_repair import smart_repair
+from .operators.smart_repair_tiled import smart_repair_tiled
 from .operators.tiling import (
     count_holes_tiled,
     hole_components_tiled,
@@ -104,5 +105,6 @@ __all__ = [
     "remove_repeated_vertices",
     "resolve_overlaps",
     "smart_repair",
+    "smart_repair_tiled",
     "snap_to_grid",
 ]

@@ -546,6 +546,8 @@ def smart_repair(
     grid: CellGrid = DEFAULT_GRID,
     snapped: bool = True,
     snap_precision: int | None = None,
+    method: str = "component",
+    tile_res: int = 3,
 ) -> DataFrame:
     """Distributed smart_repair.
 
@@ -560,9 +562,37 @@ def smart_repair(
     holes, and sub-threshold rook contacts all live strictly inside one
     component (two geometries in different components share no boundary
     by definition), so per-component repair composes to the global
-    answer.  A single all-connected layer (one statewide precinct map)
-    still serializes — that is what ``regions`` is for.
+    answer.
+
+    ``method="tiled"`` (regions=None only) switches to the PLANE-tiled
+    path (operators.smart_repair_tiled): per-tile arrangements with a
+    cross-tile face stitch, so even ONE giant connected component (a
+    statewide all-touching precinct map) repairs across many tasks.
+    Use it when the layer has no useful region nesting and its touch
+    graph is one component; ``min_rook_length`` is not supported there.
     """
+    if method == "tiled":
+        if regions is not None:
+            raise ValueError("method='tiled' does not take regions")
+        if min_rook_length is not None:
+            raise NotImplementedError(
+                "min_rook_length under method='tiled' is not implemented; "
+                "use the per-component path or regions"
+            )
+        from .smart_repair_tiled import smart_repair_tiled
+
+        return smart_repair_tiled(
+            geoms,
+            id_col=id_col,
+            fill_gaps=fill_gaps,
+            fill_gaps_threshold=fill_gaps_threshold,
+            tile_res=tile_res,
+            snapped=snapped,
+            snap_precision=snap_precision,
+            grid=grid,
+        )
+    if method != "component":
+        raise ValueError(f"unknown smart_repair method {method!r}")
     tid_type = dict(geoms.dtypes)[id_col]
     if regions is not None:
         from .assign import assign

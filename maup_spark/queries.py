@@ -869,6 +869,26 @@ def q_smart_repair_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_smart_repair_tiled_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dirty lattice through the PLANE-TILED smart_repair path
+    (per-tile arrangements + cross-tile face stitch,
+    operators/smart_repair_tiled.py) — the one-giant-component plan.
+    Must reproduce the identical closed-form areas as the component
+    path, so it shares smart_repair_nations' oracle."""
+    from .operators.smart_repair import smart_repair
+    from .geom import vector as V
+
+    layer = _dirty_nation_layer(spark, sf_dir)
+    repaired = smart_repair(layer, id_col="nation_id", method="tiled")
+    area_udf = F.pandas_udf(V.batch_area, "double")
+    return repaired.select(
+        "nation_id",
+        F.round(area_udf(F.col("geometry")) * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("area_e6"),
+    )
+
+
 def q_resolve_overlaps_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resolve_overlaps over the dirty lattice (closed-form oracle)."""
     from .operators.repair import resolve_overlaps
@@ -977,6 +997,7 @@ QUERIES.update(
     {
         "doctor_dirty_nations": q_doctor_dirty_nations,
         "smart_repair_nations": q_smart_repair_nations,
+        "smart_repair_tiled_nations": q_smart_repair_tiled_nations,
         "resolve_overlaps_nations": q_resolve_overlaps_nations,
         "doctor_overlay_nations": q_doctor_overlay_nations,
         "tiled_holes_nations": q_tiled_holes_nations,
@@ -1051,6 +1072,10 @@ FROM g
 """,
     }
 )
+
+# the plane-tiled smart_repair path must reproduce the component path's
+# closed-form areas exactly — same oracle
+ORACLES["smart_repair_tiled_nations"] = ORACLES["smart_repair_nations"]
 
 
 # ------------------------------------------------- relational aggregates
