@@ -100,12 +100,24 @@ def _node(segments):
                 seen.add((i, j))
                 _intersect_pair(segments[i], segments[j], cuts[i], cuts[j])
 
-    edges = {}
+    # collect every vertex the noded graph will contain (segment
+    # endpoints + cut points), then WELD near-duplicates: two inputs
+    # can carry coordinates that straddle a 1e-9 snap boundary (e.g.
+    # ...195 vs ...196), and without welding the stray 1e-9 micro-edge
+    # breaks the face walk — a sliver face then silently vanishes from
+    # unions/differences.
+    seg_pts = []
     for i, (p, q, tag) in enumerate(segments):
         ts = sorted(cuts[i] | {0.0, 1.0})
         px, py = p
         dx, dy = q[0] - px, q[1] - py
         pts = [(_snap(px + t * dx), _snap(py + t * dy)) for t in ts]
+        seg_pts.append(pts)
+    weld = _weld_map(pt for pts in seg_pts for pt in pts)
+
+    edges = {}
+    for i, (_p, _q, tag) in enumerate(segments):
+        pts = [weld[pt] for pt in seg_pts[i]]
         for k in range(len(pts) - 1):
             u, v = pts[k], pts[k + 1]
             if u == v:
@@ -113,6 +125,58 @@ def _node(segments):
             key = (u, v) if u < v else (v, u)
             edges.setdefault(key, set()).add(tag)
     return edges
+
+
+_WELD_TOL = 2e-9
+
+
+def _weld_map(pts_iter) -> dict:
+    """{vertex: canonical vertex} merging vertices within ~2e-9 of each
+    other (lexicographic-min representative via union-find).  Grid
+    buckets keep it near-linear."""
+    pts = set(pts_iter)
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(a, a) != a:
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+    inv = 1.0 / (2.0 * _WELD_TOL)
+    buckets: dict = defaultdict(list)
+    for p in pts:
+        buckets[(int(p[0] * inv), int(p[1] * inv))].append(p)
+    for (bx, by), members in buckets.items():
+        for dx in (0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy < 0:
+                    continue  # each unordered bucket pair visited once
+                other = members if (dx, dy) == (0, 0) else buckets.get(
+                    (bx + dx, by + dy)
+                )
+                if not other:
+                    continue
+                for p in members:
+                    for q in other:
+                        if p is q:
+                            continue
+                        if (
+                            abs(p[0] - q[0]) <= _WELD_TOL
+                            and abs(p[1] - q[1]) <= _WELD_TOL
+                        ):
+                            union(p, q)
+    return {p: find(p) for p in pts}
 
 
 def _intersect_pair(s1, s2, cuts1, cuts2):

@@ -138,19 +138,25 @@ def _simplify_collinear(ring):
     return out
 
 
-def split_hole_among_neighbors(hole: Geometry, neighbors: dict):
+def split_hole_among_neighbors(hole: Geometry, neighbors: dict, _depth: int = 0):
     """Split a multi-neighbor gap among its neighbors, reference-style
     (/root/reference/maup/smart_repair.py:1032-1145 outcome semantics):
     each boundary arc of the gap belongs to the geometry it coincides
     with; sectors from each arc to an interior split point go to that
     arc's owner.  Triangular 3-owner gaps use the INCENTER (exact
-    reference rule); general gaps use the centroid star split.  Returns
-    {owner_id: piece Geometry} or None when the gap is single-owner or
-    the star split is invalid (non-star-shaped gap) — callers fall back
-    to wholesale max-shared-perimeter absorption.  Not ported: the
-    reference's convexify/funnel subdivision for non-star gaps; the
-    fallback keeps the doctor contract (gap fully filled) with a
-    documented shape deviation for that rare case."""
+    reference rule); general gaps use the centroid star split.
+
+    NON-STAR gaps fall through to the reference's convexify/funnel
+    subdivision (/root/reference/maup/smart_repair.py:2598-2787): each
+    arc's owner is "filled in" up to the SHORTEST PATH inside the gap
+    between the arc's endpoints (visibility-graph Dijkstra,
+    geom/kernels.shortest_path_in_polygon), and the convexified
+    remainder re-enters this function recursively.
+
+    Returns {owner_id: piece Geometry} or None when the gap is
+    single-owner or every strategy failed — callers then fall back to
+    wholesale max-shared-perimeter absorption, preserving the doctor
+    contract (gap fully filled)."""
     from ..geom.arrangement import _node, _segments_of, _snap, intersection_area
 
     rings = list(hole.polygons())
@@ -217,6 +223,7 @@ def split_hole_among_neighbors(hole: Geometry, neighbors: dict):
     hole_area = abs(hole.area)
     pieces: dict = {}
     total = 0.0
+    star_ok = True
     for owner, pts in arcs:
         if pts[0] == pts[-1]:
             continue  # arc spans the whole ring — single owner, bail
@@ -226,14 +233,344 @@ def split_hole_among_neighbors(hole: Geometry, neighbors: dict):
             continue
         # star-shape validation: every sector must lie inside the gap
         if intersection_area(piece, hole) < pa * (1.0 - 1e-9):
-            return None
+            star_ok = False
+            break
         total += pa
         pieces[owner] = (
             union_all([pieces[owner], piece]) if owner in pieces else piece
         )
+    if (
+        star_ok
+        and pieces
+        and abs(total - hole_area) <= 1e-9 * max(1.0, hole_area)
+    ):
+        return pieces
+    res = _convexify_split(hole, ordered, arcs, neighbors, _depth)
+    if res is not None:
+        return res
+    return _bridge_split(hole, ordered, arcs, neighbors, _depth)
+
+
+def _convexify_split(
+    hole: Geometry, ordered: list, arcs: list, neighbors: dict, depth: int
+):
+    """Reference convexify/funnel subdivision for non-star gaps
+    (/root/reference/maup/smart_repair.py:2598-2787 + the shortest-path
+    split at :1446-1916): for each boundary arc, the piece between the
+    arc and the SHORTEST PATH inside the gap between its endpoints fills
+    into the arc's owner; the remainder (whose boundaries are now
+    shortest paths, i.e. convexified) recurses through
+    split_hole_among_neighbors with the grown neighbors, absorbing
+    wholesale only if it still resists.  Pieces are clipped to the
+    not-yet-assigned remainder (first arc wins where shortest paths
+    cross), so the result is always a PARTITION of the gap.
+    """
+    from ..geom.kernels import shortest_path_in_polygon
+
+    if depth >= 4:
+        return None
+    hole_area = abs(hole.area)
+    # ring enriched with the noded arc endpoints, so every arc endpoint
+    # is a vertex of the polygon handed to the shortest-path kernel
+    enriched = [a for a, _b, _o in ordered]
+    if len(enriched) < 3:
+        return None
+    hole_e = make_valid(Geometry.polygon(enriched))
+    if hole_e.is_empty or abs(abs(hole_e.area) - hole_area) > 1e-9 * max(
+        1.0, hole_area
+    ):
+        return None
+
+    remaining = hole_e
+    pieces: dict = {}
+    progressed = False
+    for owner, pts in arcs:
+        if remaining.is_empty:
+            break
+        if pts[0] == pts[-1]:
+            return None
+        try:
+            sp = shortest_path_in_polygon(hole_e, tuple(pts[0]), tuple(pts[-1]))
+        except (TypeError, ValueError):
+            return None
+        ring_pts = [tuple(p) for p in pts] + [tuple(p) for p in sp[::-1][1:-1]]
+        if len(ring_pts) < 3:
+            continue
+        piece = make_valid(Geometry.polygon(ring_pts))
+        if piece.is_empty or abs(piece.area) <= 1e-12 * max(1.0, hole_area):
+            continue
+        piece = piece.intersection(remaining)
+        if piece.is_empty or piece.area <= 0:
+            continue
+        progressed = True
+        pieces[owner] = (
+            union_all([pieces[owner], piece]) if owner in pieces else piece
+        )
+        remaining = remaining.difference(piece)
+    if not progressed:
+        return None
+
+    grown = {
+        i: (union_all([g, pieces[i]]) if i in pieces else g)
+        for i, g in neighbors.items()
+    }
+    for rings in remaining.polygons():
+        sub_hole = Geometry("Polygon", [rings[0]])
+        if abs(sub_hole.area) <= 1e-12 * max(1.0, hole_area):
+            continue
+        sub_neigh = {
+            i: g
+            for i, g in grown.items()
+            if shared_boundary_length(sub_hole, g) > 0
+        }
+        sub = None
+        if len(sub_neigh) >= 2:
+            sub = split_hole_among_neighbors(sub_hole, sub_neigh, depth + 1)
+        if sub is None:
+            if not sub_neigh:
+                return None
+            lengths = {
+                i: shared_boundary_length(sub_hole, g)
+                for i, g in sub_neigh.items()
+            }
+            best = min(sorted(lengths), key=lambda i: (-lengths[i], i))
+            sub = {best: sub_hole}
+        for i, p in sub.items():
+            pieces[i] = union_all([pieces[i], p]) if i in pieces else p
+
+    total = sum(abs(p.area) for p in pieces.values())
     if abs(total - hole_area) > 1e-9 * max(1.0, hole_area) or not pieces:
         return None
     return pieces
+
+
+def _seg_dist(p, q, r, s):
+    """Min distance between segments pq and rs."""
+    import math as _m
+
+    def pt_seg(a, b, c):
+        bx, by = c[0] - b[0], c[1] - b[1]
+        ll = bx * bx + by * by
+        if ll <= 0:
+            return _m.hypot(a[0] - b[0], a[1] - b[1])
+        t = max(0.0, min(1.0, ((a[0] - b[0]) * bx + (a[1] - b[1]) * by) / ll))
+        return _m.hypot(a[0] - b[0] - t * bx, a[1] - b[1] - t * by)
+
+    d1 = (q[0] - p[0], q[1] - p[1])
+    d2 = (s[0] - r[0], s[1] - r[1])
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(denom) > 1e-15:
+        rx, ry = r[0] - p[0], r[1] - p[1]
+        t = (rx * d2[1] - ry * d2[0]) / denom
+        u = (rx * d1[1] - ry * d1[0]) / denom
+        if 0 <= t <= 1 and 0 <= u <= 1:
+            return 0.0
+    return min(
+        pt_seg(p, r, s), pt_seg(q, r, s), pt_seg(r, p, q), pt_seg(s, p, q)
+    )
+
+
+def _polyline_distance(a_pts, b_pts) -> float:
+    best = float("inf")
+    for k in range(len(a_pts) - 1):
+        for m in range(len(b_pts) - 1):
+            best = min(
+                best, _seg_dist(a_pts[k], a_pts[k + 1], b_pts[m], b_pts[m + 1])
+            )
+    return best
+
+
+def _first_crossing(path1, path2):
+    """First intersection point of path1 with path2 walking from
+    path1[0]; returns (X, k1, k2) — X lies on path1 segment k1 and
+    path2 segment k2 — or None."""
+    best = None
+    for k in range(len(path1) - 1):
+        p, q = path1[k], path1[k + 1]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        for m in range(len(path2) - 1):
+            r, s = path2[m], path2[m + 1]
+            ex, ey = s[0] - r[0], s[1] - r[1]
+            denom = dx * ey - dy * ex
+            cand_t = None
+            if abs(denom) > 1e-15:
+                rx, ry = r[0] - p[0], r[1] - p[1]
+                t = (rx * ey - ry * ex) / denom
+                u = (rx * dy - ry * dx) / denom
+                if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                    cand_t = min(max(t, 0.0), 1.0)
+            else:
+                # parallel: shared endpoints count as crossings
+                for w in (r, s):
+                    if abs(w[0] - p[0]) < 1e-12 and abs(w[1] - p[1]) < 1e-12:
+                        cand_t = 0.0
+                    elif abs(w[0] - q[0]) < 1e-12 and abs(w[1] - q[1]) < 1e-12:
+                        cand_t = cand_t if cand_t is not None else 1.0
+            if cand_t is not None:
+                key = (k, cand_t)
+                if best is None or key < best[0]:
+                    X = (p[0] + cand_t * dx, p[1] + cand_t * dy)
+                    best = (key, X, k, m)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
+def _path_portion(path, start_is_first: bool, X, seg_idx):
+    """Vertices of ``path`` from its first (or last) point up to X,
+    which lies on segment ``seg_idx``."""
+    import math as _m
+
+    def near(a, b):
+        return _m.hypot(a[0] - b[0], a[1] - b[1]) < 1e-12
+
+    if start_is_first:
+        out = list(path[: seg_idx + 1])
+        if not near(out[-1], X):
+            out.append(X)
+        return out
+    out = list(path[seg_idx + 1:])[::-1]
+    if not near(out[-1], X):
+        out.append(X)
+    return out
+
+
+def _bridge_split(
+    hole: Geometry, ordered: list, arcs: list, neighbors: dict, depth: int
+):
+    """The reference's ≥4-boundary gap reduction
+    (/root/reference/maup/smart_repair.py:1446-1916): connect the
+    CLOSEST non-adjacent pair of boundary arcs by crossing shortest
+    paths (start→start, end→end), adjoin the "triangle" between each
+    arc and the paths to that arc's owner, and recurse on the 1-2
+    smaller gaps that remain (each with strictly fewer boundaries).
+    Pair order is deterministic: (distance, ring positions); a pair is
+    accepted only when the reference's strong-mutual-visibility test
+    (disjoint start→end / end→start path vertex sets) passes and at
+    least one carved piece has positive area."""
+    from ..geom.kernels import shortest_path_in_polygon
+
+    if depth >= 6 or len(arcs) < 3:
+        return None
+    hole_area = abs(hole.area)
+    enriched = [a for a, _b, _o in ordered]
+    if len(enriched) < 3:
+        return None
+    hole_e = make_valid(Geometry.polygon(enriched))
+    if hole_e.is_empty:
+        return None
+
+    n = len(arcs)
+    cand_pairs = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (j - i) % n in (1, n - 1):
+                continue  # ring-adjacent arcs share an endpoint
+            d = _polyline_distance(
+                [tuple(p) for p in arcs[i][1]], [tuple(p) for p in arcs[j][1]]
+            )
+            if d > 0:
+                cand_pairs.append((d, i, j))
+    cand_pairs.sort()
+
+    def sp(a, b):
+        return [
+            tuple(p)
+            for p in shortest_path_in_polygon(hole_e, tuple(a), tuple(b))
+        ]
+
+    for _d, i, j in cand_pairs:
+        own1, b1 = arcs[i][0], [tuple(p) for p in arcs[i][1]]
+        own2, b2 = arcs[j][0], [tuple(p) for p in arcs[j][1]]
+        try:
+            test1 = sp(b1[0], b2[-1])
+            test2 = sp(b1[-1], b2[0])
+        except (TypeError, ValueError):
+            continue
+        if set(test1) & set(test2):
+            continue  # not strongly mutually visible — next pair
+        if own1 == own2:
+            path1, path2 = test1, test2  # non-crossing, single piece
+        else:
+            try:
+                path1 = sp(b1[0], b2[0])
+                path2 = sp(b1[-1], b2[-1])
+            except (TypeError, ValueError):
+                continue
+        cross = _first_crossing(path1, path2)
+        pieces: dict = {}
+        remaining = hole_e
+        if own1 == own2:
+            ring = b1 + path2 + b2 + path1[::-1]
+            polys = [(own1, ring)]
+        elif cross is None:
+            continue
+        else:
+            X, k1, k2 = cross
+            # triangle against b1: b1, then path2 from its start (= b1's
+            # end) to X, then path1 from X back to b1's start
+            ring1 = b1 + _path_portion(path2, True, X, k2)[1:]
+            ring1 += _path_portion(path1, True, X, k1)[::-1][1:]
+            # triangle against b2: b2, then path2 from b2's end back to
+            # X, then path1 from X to b2's start
+            ring2 = b2 + _path_portion(path2, False, X, k2)[1:]
+            ring2 += _path_portion(path1, False, X, k1)[::-1][1:]
+            polys = [(own1, ring1), (own2, ring2)]
+        progressed = False
+        for owner, ring in polys:
+            ring = [p for q, p in enumerate(ring) if q == 0 or p != ring[q - 1]]
+            if len(ring) < 3:
+                continue
+            piece = make_valid(Geometry.polygon(ring))
+            if piece.is_empty or abs(piece.area) <= 1e-12 * max(1.0, hole_area):
+                continue
+            piece = piece.intersection(remaining)
+            if piece.is_empty or piece.area <= 0:
+                continue
+            progressed = True
+            pieces[owner] = (
+                union_all([pieces[owner], piece]) if owner in pieces else piece
+            )
+            remaining = remaining.difference(piece)
+        if not progressed:
+            continue
+
+        grown = {
+            k: (union_all([g, pieces[k]]) if k in pieces else g)
+            for k, g in neighbors.items()
+        }
+        ok = True
+        for rings in remaining.polygons():
+            sub_hole = Geometry("Polygon", [rings[0]])
+            if abs(sub_hole.area) <= 1e-12 * max(1.0, hole_area):
+                continue
+            sub_neigh = {
+                k: g
+                for k, g in grown.items()
+                if shared_boundary_length(sub_hole, g) > 0
+            }
+            sub = None
+            if len(sub_neigh) >= 2:
+                sub = split_hole_among_neighbors(sub_hole, sub_neigh, depth + 1)
+            if sub is None:
+                if not sub_neigh:
+                    ok = False
+                    break
+                lengths = {
+                    k: shared_boundary_length(sub_hole, g)
+                    for k, g in sub_neigh.items()
+                }
+                best = min(sorted(lengths), key=lambda k: (-lengths[k], k))
+                sub = {best: sub_hole}
+            for k, p in sub.items():
+                pieces[k] = union_all([pieces[k], p]) if k in pieces else p
+        if not ok:
+            continue
+        total = sum(abs(p.area) for p in pieces.values())
+        if abs(total - hole_area) > 1e-9 * max(1.0, hole_area) or not pieces:
+            continue
+        return pieces
+    return None
 
 
 def repair_items(

@@ -993,10 +993,62 @@ def q_close_gaps_pacman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_smart_repair_bump_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-star gap through the reference's staged subdivision
+    (convexify → closest-pair bridge → incenter triangles;
+    /root/reference/maup/smart_repair.py:2598-2787, 1446-1916,
+    operators/smart_repair.py split_hole_among_neighbors): a frame of
+    four edge-contacting blocks encloses a [0,3]² gap with a tall bump
+    (apex (1.5, 2.5)) rising from the bottom block — the gap's centroid
+    falls inside the bump, so the star split fails and the staged rules
+    run.  The oracle computes the same subdivision in closed form:
+    convexify gives the bottom block the two bump-side triangles (2.5);
+    the bridge gives the top block the apex triangle (0.75); the two
+    remaining side triangles split by INCENTER among their three
+    owners (sqrt-exact sector areas)."""
+    from .geom.base import Geometry
+    from .geom import vector as V
+    from .index.cells import CellGrid
+    from .operators.smart_repair import smart_repair
+    import pandas as pd
+
+    frame = [
+        Geometry.polygon([(-1, -1), (0, -1), (0, 4), (-1, 4)]).wkb,  # A left
+        Geometry.polygon(  # B bottom with the bump
+            [(0, -1), (3, -1), (3, 0), (2, 0), (1.5, 2.5), (1, 0), (0, 0)]
+        ).wkb,
+        Geometry.polygon([(0, 3), (4, 3), (4, 4), (0, 4)]).wkb,  # D top
+        Geometry.polygon([(3, -1), (4, -1), (4, 3), (3, 3)]).wkb,  # E right
+    ]
+
+    def build(ids):
+        return pd.Series([frame[i] for i in ids])
+
+    geom_udf = F.pandas_udf(build, "binary").asNondeterministic()
+    layer = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_nationkey") < 4)
+        .select(F.col("n_nationkey").cast("bigint").alias("gid"))
+        .withColumn("geometry", geom_udf("gid"))
+    )
+    grid = CellGrid(x0=-2, y0=-2, x1=5, y1=5, res=3)
+    fixed = smart_repair(
+        layer, id_col="gid", fill_gaps_threshold=None, grid=grid
+    )
+    area_udf = F.pandas_udf(V.batch_area, "double")
+    return fixed.select(
+        "gid",
+        F.round(area_udf(F.col("geometry")) * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("area_e6"),
+    )
+
+
 QUERIES.update(
     {
         "doctor_dirty_nations": q_doctor_dirty_nations,
         "smart_repair_nations": q_smart_repair_nations,
+        "smart_repair_bump_gap": q_smart_repair_bump_gap,
         "smart_repair_tiled_nations": q_smart_repair_tiled_nations,
         "resolve_overlaps_nations": q_resolve_overlaps_nations,
         "doctor_overlay_nations": q_doctor_overlay_nations,
@@ -1076,6 +1128,36 @@ FROM g
 # the plane-tiled smart_repair path must reproduce the component path's
 # closed-form areas exactly — same oracle
 ORACLES["smart_repair_tiled_nations"] = ORACLES["smart_repair_nations"]
+
+# non-star bump gap: the staged subdivision in closed form (sqrt-exact).
+# Derivation (see q_smart_repair_bump_gap docstring): convexify gives B
+# the two bump-side triangles (area 2.5 total); the B–D bridge paths
+# both route through the apex, carving the apex-top triangle (0.75) to
+# D; the two remaining side triangles (0,0)-(1.5,2.5)-(0,3) and its
+# mirror split by INCENTER among {B, D, side}: with s = 3 + √8.5 + √2.5,
+# I = (4.5/s, (7.5+3√8.5)/s), the sector areas are
+# sec_B = |1.5·Iy − 2.5·Ix|/2, sec_D = |1.5(3−Iy) − 0.5·Ix|/2,
+# sec_side = 1.5·Ix.  Base areas: A=5, B=4.25, D=4, E=4.
+ORACLES["smart_repair_bump_gap"] = """
+WITH i AS (
+  SELECT 4.5 / (3.0 + sqrt(8.5) + sqrt(2.5)) AS ix,
+         (7.5 + 3.0 * sqrt(8.5)) / (3.0 + sqrt(8.5) + sqrt(2.5)) AS iy
+),
+sec AS (
+  SELECT 0.5 * abs(1.5 * iy - 2.5 * ix) AS sec_b,
+         0.5 * abs(1.5 * (3.0 - iy) - 0.5 * ix) AS sec_d,
+         1.5 * ix AS sec_side
+  FROM i
+)
+SELECT CAST(n_nationkey AS BIGINT) AS gid,
+       CAST(ROUND(CASE n_nationkey
+                    WHEN 0 THEN 5.0 + sec_side
+                    WHEN 1 THEN 6.75 + 2.0 * sec_b
+                    WHEN 2 THEN 4.75 + 2.0 * sec_d
+                    WHEN 3 THEN 4.0 + sec_side
+                  END * 1e6) AS BIGINT) AS area_e6
+FROM nation CROSS JOIN sec WHERE n_nationkey < 4
+"""
 
 
 # ------------------------------------------------- relational aggregates

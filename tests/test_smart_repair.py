@@ -287,3 +287,45 @@ def test_two_neighbor_gap_is_shared_not_winner_takes_all():
     assert gains[0] - L.area > 1e-6 and gains[1] - R.area > 1e-6
     assert gains[2] - top.area > 1e-6 and gains[3] - bot.area > 1e-6
     assert all(g < 2.0 - 1e-6 for g in (gains[0] - L.area, gains[1] - R.area))
+
+
+def test_non_star_gap_staged_subdivision():
+    """Non-star bump gap: convexify -> closest-pair bridge -> incenter
+    triangles (the reference's staged rules), verified against the
+    sqrt-exact closed form (see q_smart_repair_bump_gap)."""
+    import math
+
+    from maup_spark.geom.base import Geometry
+    from maup_spark.operators.smart_repair import split_hole_among_neighbors
+
+    def rect(x0, y0, x1, y1):
+        return Geometry.polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+
+    hole = Geometry.polygon(
+        [(0, 0), (1, 0), (1.5, 2.5), (2, 0), (3, 0), (3, 3), (0, 3)]
+    )
+    neighbors = {
+        0: rect(-1, -1, 0, 4),  # A left
+        1: Geometry.polygon(  # B bottom with the bump
+            [(0, -1), (3, -1), (3, 0), (2, 0), (1.5, 2.5), (1, 0), (0, 0)]
+        ),
+        2: rect(0, 3, 4, 4),  # D top
+        3: rect(3, -1, 4, 3),  # E right
+    }
+    split = split_hole_among_neighbors(hole, neighbors)
+    assert split is not None
+
+    s = 3 + math.sqrt(8.5) + math.sqrt(2.5)
+    ix, iy = 4.5 / s, (7.5 + 3 * math.sqrt(8.5)) / s
+    sec_b = 0.5 * abs(1.5 * iy - 2.5 * ix)
+    sec_d = 0.5 * abs(1.5 * (3 - iy) - 0.5 * ix)
+    expect = {
+        0: 1.5 * ix,
+        1: 2.5 + 2 * sec_b,
+        2: 0.75 + 2 * sec_d,
+        3: 1.5 * ix,
+    }
+    assert set(split) == set(expect)
+    for k, v in expect.items():
+        assert abs(split[k].area - v) < 1e-7, k
+    assert abs(sum(g.area for g in split.values()) - hole.area) < 1e-9
