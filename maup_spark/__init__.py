@@ -48,6 +48,7 @@ from .operators.repair import (
 )
 from .operators.smart_repair import smart_repair
 from .operators.smart_repair_tiled import smart_repair_tiled
+from .operators.spatial import adaptive_grid_for
 from .operators.tiling import (
     count_holes_tiled,
     hole_components_tiled,
@@ -73,6 +74,7 @@ __all__ = [
     "IslandWarning",
     "OverlapWarning",
     "absorb_by_shared_perimeter",
+    "adaptive_grid_for",
     "adjacencies",
     "adjacency_stats",
     "connected_components",

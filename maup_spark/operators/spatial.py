@@ -37,6 +37,63 @@ DEFAULT_GRID = CellGrid(res=7)  # 128×128 world cells (2.8125° × 1.40625°)
 BOUNDS = ("xmin", "ymin", "xmax", "ymax")
 
 
+def adaptive_grid_for(
+    df: DataFrame,
+    geom_col: str = "geometry",
+    x_col: str | None = None,
+    y_col: str | None = None,
+    target_rows_per_cell: int = 256,
+    min_res: int = 3,
+    max_res: int = 14,
+) -> CellGrid:
+    """Grid whose resolution follows the LAYER (bbox + row count), not a
+    world constant: res = ⌈½·log2(rows / target_rows_per_cell)⌉ over the
+    layer bbox, clamped to [min_res, max_res].
+
+    Why: the fixed 128×128 world default means a 2.8° cell over a dense
+    city pins the salting cap at 100 TB no matter how hot it gets.  With
+    res derived from the row count, a 10× bigger layer gets ~10× more
+    cells, so per-cell candidate counts stay bounded wherever density is
+    areal (a fixture-verified invariant, tests/test_salting.py); true
+    point masses remain the salting/AQE machinery's job.  One extra
+    count+min/max aggregation job per layer — noise next to the join it
+    tunes.  Pass the result as the ``grid=`` argument of assign /
+    intersections / adjacencies / candidate_pairs.
+    """
+    import math
+
+    if x_col is not None and y_col is not None:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.min(x_col).alias("x0"),
+            F.min(y_col).alias("y0"),
+            F.max(x_col).alias("x1"),
+            F.max(y_col).alias("y1"),
+        ).collect()[0]
+    else:
+        row = (
+            with_bounds(df.select(geom_col), geom_col)
+            .agg(
+                F.count("*").alias("n"),
+                F.min("__b_xmin").alias("x0"),
+                F.min("__b_ymin").alias("y0"),
+                F.max("__b_xmax").alias("x1"),
+                F.max("__b_ymax").alias("y1"),
+            )
+            .collect()[0]
+        )
+    n = row["n"] or 0
+    if not n or row["x0"] is None:
+        return DEFAULT_GRID
+    x0, y0 = float(row["x0"]), float(row["y0"])
+    x1, y1 = float(row["x1"]), float(row["y1"])
+    cells_needed = max(1.0, n / float(target_rows_per_cell))
+    res = int(math.ceil(0.5 * math.log2(cells_needed)))
+    res = max(min_res, min(max_res, res))
+    pad = max(x1 - x0, y1 - y0, 1.0) * 1e-6
+    return CellGrid(x0=x0 - pad, y0=y0 - pad, x1=x1 + pad, y1=y1 + pad, res=res)
+
+
 def point_cell_col(grid: CellGrid, x: str = "lon", y: str = "lat") -> Column:
     """Cell id of a point as a built-in (codegen'd) expression — no UDF."""
     return _cell_of(grid, F.col(x), F.col(y)).alias("cell_id")

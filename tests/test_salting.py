@@ -140,3 +140,50 @@ def test_general_intersections_shuffle_path_triangles(spark):
     key = lambda r: (r["id"], r["tid"], round(r["area"], 12))
     ka, kb = sorted(map(key, a.collect())), sorted(map(key, b.collect()))
     assert ka == kb and len(ka) > 10
+
+
+def test_adaptive_grid_bounds_hot_cells_across_scales(spark):
+    """Density-adaptive resolution: a skewed layer (half the points in
+    1% of the extent) keeps its max per-cell count bounded as the layer
+    grows 8x, while the fixed world grid's hot cell grows linearly."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.operators.spatial import (
+        DEFAULT_GRID,
+        adaptive_grid_for,
+        point_cell_col,
+    )
+
+    def skewed(n):
+        # half the rows in a ~1×1 city box, half over a ~10×5 country —
+        # the realistic shape: the LAYER is tiny relative to the world,
+        # so a fixed world grid sees it with a handful of coarse cells
+        return spark.range(n).selectExpr(
+            "CAST(CASE WHEN id % 2 = 0 THEN 10.0 + (id % 997) * 0.001 "
+            "     ELSE 5.0 + (id % 3571) * 0.0028 END AS DOUBLE) AS lon",
+            "CAST(CASE WHEN id % 2 = 0 THEN 45.0 + (id % 991) * 0.001 "
+            "     ELSE 42.0 + (id % 1783) * 0.0028 END AS DOUBLE) AS lat",
+        )
+
+    def max_cell(df, grid):
+        return (
+            df.select(point_cell_col(grid, "lon", "lat"))
+            .groupBy("cell_id")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    small, big = skewed(20_000), skewed(160_000)
+    g_small = adaptive_grid_for(small, x_col="lon", y_col="lat")
+    g_big = adaptive_grid_for(big, x_col="lon", y_col="lat")
+    assert g_big.res > g_small.res  # resolution followed the row count
+
+    m_small, m_big = max_cell(small, g_small), max_cell(big, g_big)
+    # adaptive: hot-cell growth is sublinear (bounded by ~2x over an 8x
+    # data growth here)
+    assert m_big <= 4 * m_small
+    # and at the big scale the adaptive grid's hot cell is a fraction of
+    # the fixed world grid's — the 100 TB failure mode being designed out
+    f_big = max_cell(big, DEFAULT_GRID)
+    assert m_big * 2 <= f_big
