@@ -98,7 +98,11 @@ def minhash_lsh_pairs(
     band matched" conjunct is waived), so a pair is suppressed only if
     EVERY band where its keys match is over the cap.  None keeps every
     bucket (exact LSH semantics, the default)."""
-    mh = minhash_signatures(docs, text_col)
+    # materialize the signatures once: they feed BOTH sides of all four
+    # band self-joins (8 plan references) — without this the shingle
+    # explode + minhash aggregation re-runs 8× (98 s → 41 s at 10^6
+    # docs, scripts/bench_scale.py)
+    mh = minhash_signatures(docs, text_col).localCheckpoint(eager=False)
 
     def key_col(side: str, j: int) -> F.Column:
         return F.concat_ws(

@@ -178,7 +178,7 @@ def ivf_topk(
     same salting/AQE machinery as every other hot-key join."""
     emb = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     if quantizer == "kmeans":
-        trained = kmeans_centroids(
+        cents_df = kmeans_centroids(
             embeddings,
             n_centroids=n_centroids or 1 << 30,  # stride sample caps it
             n_iter=kmeans_iter,
@@ -186,41 +186,66 @@ def ivf_topk(
             vec_col=vec_col,
             init_stride=centroid_stride,
         )
-        cents = F.broadcast(trained)
     elif quantizer == "stride":
-        cents = F.broadcast(
-            emb.filter(F.col("vid") % centroid_stride == 0).select(
-                F.col("vid").alias("cid"), F.col("v").alias("cv")
-            )
+        cents_df = emb.filter(F.col("vid") % centroid_stride == 0).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv")
         )
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
-    sim = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
 
-    # inverted lists: argmin assignment (min over (-sim, cid) structs)
+    # the quantizer rides as ONE broadcast row holding the centroid
+    # ARRAY (norms precomputed), so nearest-centroid ranking is a
+    # higher-order-function fold per vector — the corpus is never fanned
+    # out × K rows (the round-2 plan nit; at 10^5 centroids that row
+    # blow-up would dominate the job)
+    cents_arr = F.broadcast(
+        cents_df.select("cid", "cv", _norm("cv").alias("cn")).agg(
+            F.collect_list(F.struct("cid", "cv", "cn")).alias("__cs")
+        )
+    )
+
+    def ranked_cents(vec: str, vnorm: str) -> str:
+        # ascending (negsim, cid) == (desc sim, asc cid): element 1 is
+        # the argmin the old min-struct aggregation produced, ties and
+        # 6-dp rounding identical
+        return (
+            "array_sort(transform(__cs, c -> named_struct("
+            f" 'negsim', -round(aggregate(zip_with({vec}, c.cv,"
+            "   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            "   CAST(0 AS DOUBLE), (a, b) -> a + b)"
+            f"  / ({vnorm} * c.cn), 6),"
+            " 'cid', c.cid)))"
+        )
+
     assign = (
-        emb.join(cents, F.lit(True))
-        .withColumn("__d", F.struct((-sim).alias("d"), F.col("cid")))
-        .groupBy("vid")
-        .agg(F.min("__d").alias("__m"))
-        .select("vid", F.col("__m.cid").alias("centroid_id"))
+        emb.join(cents_arr)
+        .withColumn("__vn", _norm("v"))
+        .select(
+            "vid",
+            F.expr(f"element_at({ranked_cents('v', '__vn')}, 1).cid").alias(
+                "centroid_id"
+            ),
+        )
     )
     lists = assign.join(emb, "vid").select(
         "centroid_id", F.col("vid").alias("neighbor_id"), F.col("v").alias("__nv")
     )
 
-    # query probes: nprobe nearest centroids per query
+    # query probes: nprobe nearest centroids per query (same fold, slice)
     queries = emb.filter(F.col("vid") % query_stride == 0).select(
         F.col("vid").alias("query_id"), F.col("v").alias("__qv")
     )
-    qsim = F.round(_dot("__qv", "cv") / (_norm("__qv") * _norm("cv")), 6)
-    wq = Window.partitionBy("query_id").orderBy(F.desc("__qs"), F.asc("cid"))
     probes = (
-        queries.join(cents, F.lit(True))
-        .withColumn("__qs", qsim)
-        .withColumn("__pr", F.row_number().over(wq))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qv", F.col("cid").alias("centroid_id"))
+        queries.join(cents_arr)
+        .withColumn("__qn", _norm("__qv"))
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.expr(f"slice({ranked_cents('__qv', '__qn')}, 1, {int(nprobe)})")
+            ).alias("__p"),
+        )
+        .select("query_id", "__qv", F.col("__p.cid").alias("centroid_id"))
     )
 
     # exact cosine only inside probed lists

@@ -265,12 +265,15 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_part = spark.sparkContext.defaultParallelism
     docs = docs.repartition(n_part).select("doc_id", "text")
+    # offsets far above any real doc_id: at 10^6+ documents the old
+    # +1e6/+2e6 offsets collided with genuine ids and aliased unrelated
+    # docs as duplicates (caught by scripts/bench_scale.py)
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(10_000_000_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra suffix token")).alias("text"),
     )
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(20_000_000_000_000)).alias("doc_id"), "text"
     )
     return docs.unionByName(near).unionByName(exact)
 
@@ -278,10 +281,10 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORPUS_CTE = """corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text || ' extra suffix token' AS text
+  SELECT doc_id + 10000000000000 AS doc_id, text || ' extra suffix token' AS text
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 20000000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 )"""
 
 _SHINGLE_CTE = """tok AS (
@@ -993,6 +996,72 @@ def q_close_gaps_pacman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _area_e6(df: DataFrame, id_col: str) -> DataFrame:
+    from .geom import vector as V
+
+    area_udf = F.pandas_udf(V.batch_area, "double")
+    return df.select(
+        id_col,
+        F.round(area_udf(F.col("geometry")) * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("area_e6"),
+    )
+
+
+def q_crop_to_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crop_to: every dirty 1.2-square clipped to the union of the clean
+    unit lattice ([0,5]²) — closed form: each square keeps its 1.2
+    margin except in the last row/column, which clip back to 1.0."""
+    from .operators.repair import crop_to
+
+    dirty = _dirty_nation_layer(spark, sf_dir)
+    clean = D.nation_grid(spark, sf_dir).select("nation_id", "geometry")
+    return _area_e6(crop_to(dirty, clean, id_col="nation_id"), "nation_id")
+
+
+def q_expand_to_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expand_to: the clean unit lattice expands to cover a target strip
+    [0,5.5]×[0,1] — the leftover [5,5.5]×[0,1] shares positive boundary
+    with exactly one cell (gx=4, gy=0 → nation 4), which absorbs it."""
+    from .geom import vector as V
+    from .operators.repair import expand_to
+
+    clean = D.nation_grid(spark, sf_dir).select("nation_id", "geometry")
+
+    def rect_batch(x0, y0, x1, y1):
+        return V.batch_rect_wkb(
+            x0.to_numpy(), y0.to_numpy(), x1.to_numpy(), y1.to_numpy()
+        )
+
+    rect_udf = F.pandas_udf(rect_batch, "binary").asNondeterministic()
+    target = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_nationkey") < 1)
+        .selectExpr(
+            "CAST(0.0 AS DOUBLE) AS x0", "CAST(0.0 AS DOUBLE) AS y0",
+            "CAST(5.5 AS DOUBLE) AS x1", "CAST(1.0 AS DOUBLE) AS y1",
+        )
+        .withColumn("geometry", rect_udf("x0", "y0", "x1", "y1"))
+        .select("geometry")
+    )
+    return _area_e6(expand_to(clean, target, id_col="nation_id"), "nation_id")
+
+
+def q_quick_repair_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quick_repair (the reference's autorepair): remove-repeated →
+    make_valid → resolve_overlaps → close_gaps over the dirty lattice.
+    resolve_overlaps redistributes the overlap strips (closed form =
+    resolve_overlaps_nations) and the union stays the solid [0,5.2]², so
+    close_gaps is a no-op — this query shares resolve_overlaps' oracle."""
+    from .operators.repair import quick_repair
+
+    layer = _dirty_nation_layer(spark, sf_dir)
+    return _area_e6(
+        quick_repair(layer, id_col="nation_id", relative_threshold=None),
+        "nation_id",
+    )
+
+
 def q_smart_repair_bump_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-star gap through the reference's staged subdivision
     (convexify → closest-pair bridge → incenter triangles;
@@ -1050,6 +1119,9 @@ QUERIES.update(
         "smart_repair_nations": q_smart_repair_nations,
         "smart_repair_bump_gap": q_smart_repair_bump_gap,
         "smart_repair_tiled_nations": q_smart_repair_tiled_nations,
+        "crop_to_nations": q_crop_to_nations,
+        "expand_to_nations": q_expand_to_nations,
+        "quick_repair_nations": q_quick_repair_nations,
         "resolve_overlaps_nations": q_resolve_overlaps_nations,
         "doctor_overlay_nations": q_doctor_overlay_nations,
         "tiled_holes_nations": q_tiled_holes_nations,
@@ -1128,6 +1200,29 @@ FROM g
 # the plane-tiled smart_repair path must reproduce the component path's
 # closed-form areas exactly — same oracle
 ORACLES["smart_repair_tiled_nations"] = ORACLES["smart_repair_nations"]
+
+# crop_to: 1.2-squares clipped to [0,5]² — last row/column lose their
+# 0.2 margin on that axis
+ORACLES["crop_to_nations"] = """
+SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+       CAST(ROUND((CASE WHEN n_nationkey % 5 = 4 THEN 1.0 ELSE 1.2 END)
+                * (CASE WHEN n_nationkey // 5 = 4 THEN 1.0 ELSE 1.2 END)
+                * 1e6) AS BIGINT) AS area_e6
+FROM nation
+"""
+
+# expand_to: leftover strip [5,5.5]×[0,1] absorbs into nation 4 (the
+# only cell sharing positive-length boundary with it)
+ORACLES["expand_to_nations"] = """
+SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+       CAST(CASE WHEN n_nationkey = 4 THEN 1500000 ELSE 1000000 END
+            AS BIGINT) AS area_e6
+FROM nation
+"""
+
+# quick_repair = resolve_overlaps (+ a no-op close_gaps on the solid
+# lattice) — identical closed form
+ORACLES["quick_repair_nations"] = ORACLES["resolve_overlaps_nations"]
 
 # non-star bump gap: the staged subdivision in closed form (sqrt-exact).
 # Derivation (see q_smart_repair_bump_gap docstring): convexify gives B

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Document-stage bench at REAL row counts (verdict r02 item 6).
+
+The driver bench (sf0.1) runs the text/dedup/multimodal stages over
+5 000 documents — pure spin-up territory for Arrow-batched stages.
+This script synthesizes a deterministic web-scale-shaped corpus
+(default 10^6 docs, ~40 hex words each, 1/64 exact-duplicate rate, all
+near-dup-free so LSH bucket sizes stay honest), symlinks the sf0.1
+relational tables next to it, and times the document-bound queries at
+that scale.
+
+Usage: python scripts/bench_scale.py [n_docs] [out_json]
+Writes .bench_data/docs{N}/ (gitignored) once and reuses it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_SF = "/root/testdata/sf0.1"
+
+DOC_QUERIES = [
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "exact_dedup",
+    "simhash",
+    "minhash_lsh",
+    "pages_extract",
+    "media_features",
+    "frame_sample",
+]
+
+
+def build_corpus(spark, n_docs: int, out_dir: str) -> None:
+    """Deterministic corpus: doc i's text is 12+(i%57) 8-hex words from
+    md5(base-k); every 64th doc copies its predecessor (exact-dup rate
+    1/64).  100% whole-stage codegen, no Python."""
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        """array_join(
+             transform(
+               sequence(1, 12 + CAST(id % 57 AS INT)),
+               k -> substr(md5(concat(
+                      CAST(CASE WHEN id % 64 = 63 THEN id - 1 ELSE id END
+                           AS STRING), '-', CAST(k AS STRING))), 1, 8)),
+             ' ') AS text""",
+        "element_at(array('en','de','fr','es'), CAST(id % 4 + 1 AS INT)) AS lang",
+        "concat('crawl-', CAST(id % 10 AS STRING)) AS source",
+    ).selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def ensure_dataset(spark, n_docs: int) -> str:
+    out_dir = os.path.join(REPO, ".bench_data", f"docs{n_docs}")
+    marker = os.path.join(out_dir, "_BUILT")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        build_corpus(spark, n_docs, out_dir)
+        for name in (
+            "region nation customer supplier part orders lineitem events "
+            "embeddings"
+        ).split():
+            link = os.path.join(out_dir, f"{name}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(SRC_SF, f"{name}.parquet"), link)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out_dir
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "BENCH_SCALE.json"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from maup_spark.queries import QUERIES
+    from maup_spark.session import get_spark
+
+    spark = get_spark(f"bench-scale-{n_docs}", master=f"local[{cpus}]")
+    sf_dir = ensure_dataset(spark, n_docs)
+    # warm codegen/JIT on a cheap full pass
+    QUERIES["text_stats"](spark, sf_dir).count()
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    timings: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
+    for name in DOC_QUERIES:
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            rows_out[name] = QUERIES[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        us_per_doc = 1e6 * timings[name] / n_docs
+        print(
+            f"# {name}: {rows_out[name]} rows in {timings[name]}s "
+            f"({us_per_doc:.2f} us/doc)",
+            file=sys.stderr,
+        )
+    total = sum(timings.values())
+    result = {
+        "metric": "document-stage suite throughput",
+        "value": round(n_docs * len(DOC_QUERIES) / total, 1),
+        "unit": "docs/sec (per stage, suite mean)",
+        "queries": timings,
+        "rows_out": rows_out,
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "sf": sf_dir,
+    }
+    with open(out_json, "w") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
