@@ -906,16 +906,12 @@ def smart_repair(
     cross-tile face stitch, so even ONE giant connected component (a
     statewide all-touching precinct map) repairs across many tasks.
     Use it when the layer has no useful region nesting and its touch
-    graph is one component; ``min_rook_length`` is not supported there.
+    graph is one component; ``min_rook_length`` runs as the distributed
+    blob pass (smart_repair_tiled.small_rook_to_queen_df).
     """
     if method == "tiled":
         if regions is not None:
             raise ValueError("method='tiled' does not take regions")
-        if min_rook_length is not None:
-            raise NotImplementedError(
-                "min_rook_length under method='tiled' is not implemented; "
-                "use the per-component path or regions"
-            )
         from .smart_repair_tiled import smart_repair_tiled
 
         return smart_repair_tiled(
@@ -926,6 +922,7 @@ def smart_repair(
             tile_res=tile_res,
             snapped=snapped,
             snap_precision=snap_precision,
+            min_rook_length=min_rook_length,
             grid=grid,
         )
     if method != "component":

@@ -46,8 +46,11 @@ Deviations from the sequential path, both documented and bounded:
 - the gap threshold compares against PRE-FILL neighbor areas (the
   sequential loop lets an earlier fill grow a neighbor before a later
   hole tests it — an order dependence the distributed form drops);
-- ``min_rook_length`` is not implemented here (use the per-component
-  path or ``regions`` for that pass).
+- ``min_rook_length`` runs as a distributed blob pass
+  (``small_rook_to_queen_df``): within a round, blob moves use the
+  round-START state instead of the sequential pass's evolving dict —
+  identical unless two blobs nearly touch, in which case they merge
+  into one blob here anyway.
 """
 
 from __future__ import annotations
@@ -560,6 +563,213 @@ def _fragment_hits(frags: DataFrame, kept: DataFrame, id_col: str, grid):
     )
 
 
+def small_rook_to_queen_df(
+    repaired: DataFrame,
+    id_col: str,
+    min_rook_length: float,
+    grid=None,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Distributed ``small_rook_to_queen`` (component-path semantics,
+    operators/smart_repair.py:_small_rook_round): per round,
+
+    1. sub-threshold rook contacts come from the distributed
+       ``adjacencies`` length column;
+    2. each short pair's shared-arc midpoint gets a 16-gon disk; disks
+       merge into blobs (cell-candidate bbox graph → connected
+       components → per-group union → polygon explode);
+    3. each blob task moves the blob's footprint share to the geometry
+       sharing the most boundary with the blob (smallest id on ties) and
+       subtracts the blob from every other toucher;
+    4. updates apply per geometry in one grouped pass — blobs are
+       disjoint so update order is immaterial (the sequential path's
+       within-round evolution only matters for nearly-touching disks,
+       which merge into one blob here).
+
+    Rounds iterate to a fixed point like the sequential pass (a disk
+    boundary can land near an existing junction and create a new short
+    contact)."""
+    from .adjacencies import adjacencies
+    from .components import connected_components
+    from .smart_repair import _regular_ngon, _shared_arc_midpoint
+    from .spatial import DEFAULT_GRID, with_cell_cover
+
+    grid = grid or DEFAULT_GRID
+    id_type = dict(repaired.dtypes)[id_col]
+    for _ in range(max_rounds):
+        repaired = repaired.localCheckpoint(eager=False)
+        adjs = adjacencies(
+            repaired.filter(F.col("geometry").isNotNull()),
+            id_col=id_col,
+            adjacency_type="rook",
+            grid=grid,
+        )
+        short = adjs.filter(
+            (F.col("length") > 0) & (F.col("length") < float(min_rook_length))
+        ).select("id_i", "id_j")
+        if short.isEmpty():
+            return repaired
+
+        g = repaired.select(
+            F.col(id_col).alias("__i"), F.col("geometry").alias("__gi")
+        )
+        pairs = short.join(
+            g.withColumnRenamed("__i", "id_i").withColumnRenamed("__gi", "__a"),
+            "id_i",
+        ).join(
+            g.withColumnRenamed("__i", "id_j").withColumnRenamed("__gi", "__b"),
+            "id_j",
+        )
+
+        mrl = float(min_rook_length)
+
+        def make_disks(batches):
+            for pdf in batches:
+                out = []
+                for a, b in zip(pdf["__a"], pdf["__b"]):
+                    ga, gb = Geometry.from_wkb(a), Geometry.from_wkb(b)
+                    mid = _shared_arc_midpoint(ga, gb)
+                    if mid is None:
+                        continue
+                    L = shared_boundary_length(ga, gb)
+                    r = max(0.6 * L, 0.55 * mrl)
+                    out.append(_regular_ngon(mid[0], mid[1], r).wkb)
+                if out:
+                    yield pd.DataFrame({"geometry": out})
+
+        disks = pairs.mapInPandas(
+            make_disks, schema="geometry binary"
+        ).withColumn("__did", F.monotonically_increasing_id())
+        disks = disks.localCheckpoint(eager=True)  # stable __did
+        # blob = connected group of bbox-overlapping disks (coarser than
+        # geometric overlap; the union + polygon explode below re-splits
+        # disjoint groups, so the result matches the sequential union)
+        dcov = with_cell_cover(disks, grid).select(
+            "cell_id", "__did", "__b_xmin", "__b_ymin", "__b_xmax", "__b_ymax"
+        )
+        a = dcov.select(
+            F.col("__did").alias("da"), "cell_id",
+            F.col("__b_xmin").alias("ax0"), F.col("__b_ymin").alias("ay0"),
+            F.col("__b_xmax").alias("ax1"), F.col("__b_ymax").alias("ay1"),
+        )
+        b = dcov.select(
+            F.col("__did").alias("db"), "cell_id",
+            F.col("__b_xmin").alias("bx0"), F.col("__b_ymin").alias("by0"),
+            F.col("__b_xmax").alias("bx1"), F.col("__b_ymax").alias("by1"),
+        )
+        edges = (
+            a.join(b, "cell_id")
+            .filter(F.col("da") < F.col("db"))
+            .filter(
+                (F.least("ax1", "bx1") >= F.greatest("ax0", "bx0"))
+                & (F.least("ay1", "by1") >= F.greatest("ay0", "by0"))
+            )
+            .select(F.col("da").alias("src"), F.col("db").alias("dst"))
+            .distinct()
+        )
+        comp = connected_components(
+            disks.select(F.col("__did").alias("node")), edges
+        )
+
+        def union_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+            u = union_all([Geometry.from_wkb(x) for x in pdf["geometry"]])
+            out = []
+            for k, rings in enumerate(u.polygons()):
+                out.append(Geometry("Polygon", rings).wkb)
+            return pd.DataFrame(
+                {
+                    "blob_id": [
+                        int(pdf["comp"].iloc[0]) * 64 + k
+                        for k in range(len(out))
+                    ],
+                    "geometry": out,
+                }
+            )
+
+        blobs = (
+            disks.join(comp.withColumnRenamed("node", "__did"), "__did")
+            .groupBy("comp")
+            .applyInPandas(union_blob, schema="blob_id bigint, geometry binary")
+        )
+
+        # blob ↔ candidate geometries (bbox cell join), one task per blob
+        bcov = with_cell_cover(
+            blobs.select("blob_id", F.col("geometry").alias("__blob")), grid,
+            geom_col="__blob",
+        ).select("cell_id", "blob_id", "__blob")
+        gcov = with_cell_cover(
+            repaired.filter(F.col("geometry").isNotNull()).select(
+                F.col(id_col).alias("__i"), F.col("geometry").alias("__gi")
+            ),
+            grid,
+            geom_col="__gi",
+        ).select("cell_id", "__i", "__gi")
+        cand = bcov.join(gcov, "cell_id").dropDuplicates(["blob_id", "__i"])
+
+        def per_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = Geometry.from_wkb(pdf["__blob"].iloc[0])
+            pieces = []
+            for i, x in zip(pdf["__i"], pdf["__gi"]):
+                gi = Geometry.from_wkb(x)
+                p = gi.intersection(blob)
+                if not p.is_empty and p.area > 0:
+                    pieces.append((i, gi, p))
+            ids_out, roles, wkbs = [], [], []
+            if pieces:
+                owner = min(
+                    pieces,
+                    key=lambda t: (-shared_boundary_length(t[1], blob), t[0]),
+                )[0]
+                moved = union_all([p for _, _, p in pieces])
+                for i, _gi, _p in pieces:
+                    if i == owner:
+                        ids_out.append(i)
+                        roles.append("win")
+                        wkbs.append(moved.wkb)
+                    else:
+                        ids_out.append(i)
+                        roles.append("lose")
+                        wkbs.append(blob.wkb)
+            return pd.DataFrame(
+                {id_col: ids_out, "role": roles, "geometry": wkbs}
+            )
+
+        updates = cand.groupBy("blob_id").applyInPandas(
+            per_blob, schema=f"{id_col} {id_type}, role string, geometry binary"
+        )
+
+        def apply_updates(pdf: pd.DataFrame) -> pd.DataFrame:
+            base = next(
+                (x for r, x in zip(pdf["role"], pdf["geometry"]) if r == "base"),
+                None,
+            )
+            g0 = Geometry.from_wkb(base) if base is not None else Geometry.empty()
+            for r, x in zip(pdf["role"], pdf["geometry"]):
+                if r == "lose":
+                    g0 = g0.difference(Geometry.from_wkb(x))
+            wins = [
+                Geometry.from_wkb(x)
+                for r, x in zip(pdf["role"], pdf["geometry"])
+                if r == "win"
+            ]
+            if wins:
+                g0 = union_all([g0] + wins)
+            return pd.DataFrame(
+                {
+                    id_col: [pdf[id_col].iloc[0]],
+                    "geometry": [g0.wkb if not g0.is_empty else None],
+                }
+            )
+
+        tagged = repaired.select(
+            id_col, F.lit("base").alias("role"), "geometry"
+        ).unionByName(updates)
+        repaired = tagged.groupBy(id_col).applyInPandas(
+            apply_updates, schema=f"{id_col} {id_type}, geometry binary"
+        )
+    return repaired
+
+
 def smart_repair_tiled(
     geoms: DataFrame,
     id_col: str = "id",
@@ -569,6 +779,7 @@ def smart_repair_tiled(
     snapped: bool = True,
     snap_precision: int | None = None,
     disconnection_threshold: float = 1e-4,
+    min_rook_length: float | None = None,
     grid=None,
 ) -> DataFrame:
     """smart_repair with plane tiling instead of component grouping —
@@ -642,6 +853,10 @@ def smart_repair_tiled(
     repaired = _reattach_fragments_df(
         repaired, id_col, disconnection_threshold, grid
     )
+    if min_rook_length is not None:
+        repaired = small_rook_to_queen_df(
+            repaired, id_col, min_rook_length, grid
+        )
     # inputs swallowed entirely (no exclusive face, lost every overlap)
     missing = geoms.select(id_col).join(
         repaired.select(id_col), id_col, "left_anti"

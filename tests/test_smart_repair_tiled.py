@@ -126,7 +126,51 @@ def test_tiled_rejects_unsupported_combinations(spark):
     from maup_spark.operators.smart_repair import smart_repair
 
     layer = _lattice(spark, 2)
-    with pytest.raises(NotImplementedError):
-        smart_repair(layer, id_col="gid", method="tiled", min_rook_length=0.1)
     with pytest.raises(ValueError):
         smart_repair(layer, id_col="gid", method="nope")
+    with pytest.raises(ValueError):
+        smart_repair(
+            layer,
+            id_col="gid",
+            method="tiled",
+            regions=layer.select(F.col("gid").alias("region_id"), "geometry"),
+        )
+
+
+def test_tiled_small_rook_to_queen(spark):
+    """The distributed blob pass: the jittered toy-precinct fixture
+    repaired through the TILED path with min_rook_length=0.05 must have
+    no sub-0.05 rook edge and stay overlap-free — the same gate as the
+    component path's srtq test."""
+    import random
+
+    from maup_spark.geom.base import Geometry
+    from maup_spark.index.cells import CellGrid
+    from maup_spark.operators.adjacencies import adjacencies
+    from maup_spark.operators.repair import doctor
+    from maup_spark.operators.smart_repair import smart_repair
+
+    random.seed(2023)
+    rows = []
+    for i in range(3):
+        for j in range(3):
+            pts = (
+                [(0.5 * i + 0.1 * k, 0.5 * j + (random.random() - 0.5) / 12) for k in range(6)]
+                + [(0.5 * (i + 1) + (random.random() - 0.5) / 12, 0.5 * j + 0.1 * k) for k in range(1, 6)]
+                + [(0.5 * (i + 1) - 0.1 * k, 0.5 * (j + 1) + (random.random() - 0.5) / 12) for k in range(1, 6)]
+                + [(0.5 * i + (random.random() - 0.5) / 12, 0.5 * (j + 1) - 0.1 * k) for k in range(1, 5)]
+            )
+            rows.append((len(rows), Geometry.polygon(pts).wkb))
+    layer = spark.createDataFrame(rows, "id bigint, geometry binary")
+    grid = CellGrid(x0=-1, y0=-1, x1=3, y1=3, res=4)
+
+    srtq = smart_repair(
+        layer, id_col="id", method="tiled", min_rook_length=0.05, grid=grid
+    )
+    srtq_df = spark.createDataFrame(
+        srtq.collect(), "id bigint, geometry binary"
+    )
+    lens = [r["length"] for r in adjacencies(srtq_df, grid=grid).collect()]
+    assert min(lens) > 0.05, f"min rook length still {min(lens)}"
+    after = doctor(srtq_df, grid=grid)
+    assert after["source_overlaps"] == 0
