@@ -45,6 +45,8 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "cosine_topk",
             "pages_extract",
             "adjacencies_nations",
+            "intersections_triangles",
+            "intersections_triangles_shuffle",
         ]
         if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
             headline = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")

@@ -442,6 +442,16 @@ def candidate_pairs(
         # shuffle-join path (polygon side too big to broadcast): explicit
         # two-level salting of hot cells + AQE skew-join as backstop
         joined = salted_join(s, t, hot_cells(s) if salt_skew else {})
+        # AQE coalesces the post-join partitions by BYTES; candidate
+        # rows are small but each costs ~ms in the exact-geometry refine
+        # downstream, so a 10 MB candidate set would collapse to 1-2
+        # tasks and run the Python stage nearly serial (measured 9.8 s
+        # vs 2.7 s on 53k triangle×cell pairs).  Pin the refine's
+        # parallelism with an explicit round-robin repartition — AQE
+        # does not coalesce user-specified repartitions.
+        joined = joined.repartition(
+            joined.sparkSession.sparkContext.defaultParallelism
+        )
     ref_cell = _cell_of(
         grid,
         F.greatest("__s_xmin", "__t_xmin"),
