@@ -96,3 +96,40 @@ def test_lsh_bucket_cap(spark, sf_dir):
     capped = minhash_lsh_pairs(corpus, max_bucket=50).count()
     assert capped <= uncapped
     assert capped > 0  # duplicate pairs live in small buckets -> survive
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): every
+    fingerprint survives exactly once and the surviving fingerprint set
+    equals the batch twin's; state is bounded by the watermark horizon,
+    not corpus size (which representative survives is arrival-order
+    business in both engines, so the gate compares fingerprint sets)."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.streaming.dedup_stream import dedup_batch, streaming_dedup
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "timestamp_seconds(1704067200 + id * 60) AS ts",
+        # every 3rd doc duplicates the previous one's text
+        "concat('text-', CAST(CASE WHEN id % 3 = 2 THEN id - 1 ELSE id END AS STRING)) AS text",
+    )
+    src = str(tmp_path / "ddsrc")
+    docs.repartition(4).write.parquet(src)
+
+    q = streaming_dedup(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "ddckpt"),
+        output_dir=str(tmp_path / "ddout"),
+        watermark="10 minutes",
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(str(tmp_path / "ddout"))
+    want = dedup_batch(docs)
+    got_fp = [r["fingerprint"] for r in got.select("fingerprint").collect()]
+    want_fp = {r["fingerprint"] for r in want.collect()}
+    assert len(got_fp) == len(set(got_fp))  # exactly once each
+    assert set(got_fp) == want_fp
+    assert got.count() == 200  # 100 dup fingerprints removed
