@@ -1,15 +1,24 @@
 from .text import doc_fingerprint, lang_id, text_stats, token_count
-from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard, simhash_signatures
-from .similarity import ann_lsh_pairs, cosine_topk
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+    simhash_signatures,
+)
+from .similarity import ann_lsh_pairs, cosine_topk, embedding_dedup, ivf_topk
 
 __all__ = [
     "ann_lsh_pairs",
     "cosine_topk",
     "doc_fingerprint",
+    "embedding_dedup",
     "exact_dedup",
+    "ivf_topk",
     "lang_id",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "simhash_pairs",
     "simhash_signatures",
     "text_stats",
     "token_count",

@@ -181,30 +181,127 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_bits: int = SIMHASH_BITS
+) -> DataFrame:
     """SimHash over unigram tokens: bit i = sign of Σ_tokens ±1, where
-    the ±1 is the top bit of md5-nibble i.  Emitted as a bitstring so
-    the representation is engine-portable (no 64-bit int ops)."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).withColumn("h", F.md5(F.col("w")))
+    the ±1 is the top bit of md5-nibble i (bits 32-63 draw from a
+    second, salted md5).  Emitted as a bitstring so the representation
+    is engine-portable (no 64-bit int ops).
+
+    ``n_bits`` defaults to the 16-bit ORACLE config (portable to the
+    ANSI-SQL twin); production near-dup detection wants ``n_bits=64``
+    — 16 bits over a shared-vocabulary web corpus collide heavily
+    (measured: ~28% of all pairs land within Hamming 3 at 16 bits on
+    the synthetic corpus vs ~0 genuine at 64)."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .withColumn("h", F.md5(F.col("w")))
+    )
+    if n_bits > 32:
+        toks = toks.withColumn("h2", F.md5(F.concat(F.col("w"), F.lit("#b"))))
+
+    def nibble(i: int) -> F.Column:
+        src = F.col("h") if i < 32 else F.col("h2")
+        return F.substring(src, (i % 32) + 1, 1)
+
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.substring(F.col("h"), i + 1, 1).isin(
-                        "8", "9", "a", "b", "c", "d", "e", "f"
-                    ),
-                    1,
+                    nibble(i).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
                 ).otherwise(-1)
             ).alias(f"s{i}")
-            for i in range(SIMHASH_BITS)
+            for i in range(n_bits)
         ]
     )
     bits = F.concat(
         *[
             F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(SIMHASH_BITS)
+            for i in range(n_bits)
         ]
     )
     return sums.select("doc_id", bits.alias("simhash"))
+
+
+SIMHASH_BAND_BITS = 4  # 16-bit signature -> 4 bands of 4 bits
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = SIMHASH_BAND_BITS,
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the pair-
+    generation stage the reference-style pipelines run after
+    ``simhash_signatures`` (Charikar/Manku-Jain-Sarma construction).
+
+    Pigeonhole LSH: a pair within Hamming ``max_hamming`` of a
+    ``SIMHASH_BITS``-bit signature must agree exactly on at least one of
+    ``SIMHASH_BITS / band_bits`` bands when ``max_hamming < n_bands``
+    — so candidates come from equi-joins on band substrings (the
+    scalable shape; never all-pairs), then the exact Hamming distance
+    filters within buckets.  Uses the same CANONICAL-BAND emit as
+    ``minhash_lsh_pairs``: a pair is emitted only from the first band
+    whose keys match, so no ``.distinct()`` exchange is needed.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.  The Hamming
+    distance is a static per-bit character comparison — pure codegen,
+    engine-portable (no integer-width or conv() asymmetries).
+
+    Scale knobs: the default (16-bit sigs, 4-bit bands) is the ORACLE
+    config — only 16 buckets per band, so per-band fan-in is n/16 and
+    the join degenerates toward all-pairs on a big corpus.  Production
+    = ``n_bits=64, band_bits=16`` (the Manku-Jain-Sarma WWW'07 split):
+    65,536 buckets per band, Hamming ≤ 3 still pigeonhole-guaranteed
+    across the 4 bands.
+    """
+    if n_bits % band_bits != 0:
+        raise ValueError(f"band_bits {band_bits} must divide n_bits {n_bits}")
+    n_bands = n_bits // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_bands ({max_hamming} >= {n_bands}):"
+            " a qualifying pair could differ in every band and be missed"
+        )
+    sigs = simhash_signatures(docs, text_col, n_bits=n_bits).localCheckpoint(
+        eager=False
+    )
+
+    def band(side: str, b: int) -> F.Column:
+        return F.substring(F.col(f"{side}.simhash"), b * band_bits + 1, band_bits)
+
+    out = None
+    for b in range(n_bands):
+        a = sigs.alias("a")
+        c = sigs.alias("b")
+        cond = (band("a", b) == band("b", b)) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        for j in range(b):
+            cond = cond & (band("a", j) != band("b", j))
+        part = a.join(c, cond).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        out = part if out is None else out.unionByName(part)
+
+    hamming = None
+    for i in range(n_bits):
+        term = F.when(
+            F.substring(F.col("__sa"), i + 1, 1)
+            != F.substring(F.col("__sb"), i + 1, 1),
+            1,
+        ).otherwise(0)
+        hamming = term if hamming is None else hamming + term
+    return (
+        out.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -306,3 +306,55 @@ def ann_lsh_pairs(
         .filter(F.col("sim") >= min_sim)
         .select("id_a", "id_b", "sim")
     )
+
+
+def embedding_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clusters: vectors whose cosine
+    similarity reaches ``threshold`` (rounded to 6dp before the compare,
+    so the edge set is engine-portable) are edges of an undirected
+    graph; each vector gets the minimum reachable id as its
+    ``canonical_id`` (distributed connected components — label
+    propagation + pointer jumping), plus the cluster size.
+
+    ``method="lsh"`` (default, the 100 TB shape) draws candidate edges
+    from the banded multi-table ANN join — per-bucket quadratic work
+    only, probabilistic recall.  ``method="exact"`` is the brute-force
+    all-pairs baseline: exact recall, O(N²) — the oracle-checkable
+    variant (same stride-vs-kmeans split as ``ivf_topk``).
+
+    Returns DataFrame[vec_id, canonical_id, n_members].
+    """
+    from ..operators.components import connected_components
+
+    if method == "exact":
+        e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"))
+        b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"))
+        sim = _dot("__va", "__vb") / (_norm("__va") * _norm("__vb"))
+        edges = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(F.round(sim, 6) >= threshold)
+            .select("id_a", "id_b")
+        )
+    elif method == "lsh":
+        edges = ann_lsh_pairs(
+            embeddings, id_col=id_col, vec_col=vec_col, min_sim=threshold
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'exact' or 'lsh')")
+
+    nodes = embeddings.select(F.col(id_col).alias("vec_id"))
+    comp = connected_components(
+        nodes, edges, node_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    lab = comp.select(F.col("node").alias("vec_id"), F.col("comp").alias("canonical_id"))
+    counts = lab.groupBy("canonical_id").agg(F.count("*").alias("n_members"))
+    return lab.join(counts, "canonical_id").select(
+        "vec_id", "canonical_id", "n_members"
+    )

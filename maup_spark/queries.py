@@ -409,6 +409,50 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash_pairs
+
+    return simhash_pairs(_corpus(spark, sf_dir))
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + synthetic near-duplicate vectors: every 10th vector
+    with coordinate 0 nudged (+0.05), every 20th additionally with
+    coordinate 1 nudged — so clusters of size 2 and 3 exist (the size-3
+    ones exercise label-propagation transitivity).  All math in DOUBLE
+    on both engines; duplicate cosines ≈0.999 vs random-pair <0.5, so
+    the 0.9 threshold has a huge float-portability margin."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    base = base.repartition(n_part)
+    nudge0 = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000_000_000)).alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0] + 0.05D),"
+            " slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    nudge1 = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(20_000_000_000_000)).alias("vec_id"),
+        F.expr(
+            "concat(slice(embedding, 1, 1), array(embedding[1] + 0.05D),"
+            " slice(embedding, 3, size(embedding) - 2))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(nudge0).unionByName(nudge1)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (brute-force) variant under the gate — same split as
+    ivf_topk's stride-vs-kmeans: the oracle-checkable baseline here,
+    the LSH-candidate scale path recall-tested in pytest."""
+    from .functions.similarity import embedding_dedup
+
+    return embedding_dedup(_emb_corpus(spark, sf_dir), threshold=0.9, method="exact")
+
+
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Determinism gate: extracted text must be byte-identical per url."""
     from .functions.multimodal import extract_text, pages
@@ -546,6 +590,8 @@ QUERIES.update(
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dedup": q_embedding_dedup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ivf_topk": q_ivf_topk,
@@ -569,6 +615,15 @@ _SIMHASH_SUMS = ", ".join(
 )
 _SIMHASH_BITS = " || ".join(
     f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(16)
+)
+# mirrors functions.dedup.simhash_pairs: 4 bands x 4 bits, 16-term
+# character-wise Hamming (no conv()/integer-width asymmetries)
+_SIMHASH_BAND_MATCH = " OR ".join(
+    f"substr(a.s, {b * 4 + 1}, 4) = substr(b.s, {b * 4 + 1}, 4)" for b in range(4)
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"CASE WHEN substr(a.s, {i + 1}, 1) <> substr(b.s, {i + 1}, 1) THEN 1 ELSE 0 END"
+    for i in range(16)
 )
 
 # 32 hyperplanes = 4 banded tables x 8 bits (must mirror
@@ -660,6 +715,48 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        "simhash_pairs": f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH_BITS} AS s FROM sums)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_SIMHASH_HAMMING} AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_SIMHASH_BAND_MATCH})
+) WHERE hamming <= 3
+""",
+        # brute-force cosine edges (0.9 threshold on 6dp-rounded DOUBLE
+        # cosine) + recursive-CTE min-label connected components — the
+        # SQL twin of connected_components' label propagation
+        "embedding_dedup": """
+WITH RECURSIVE
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+emb AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000000000000 AS vec_id, [v[1] + 0.05] || v[2:] AS v
+  FROM base WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 20000000000000 AS vec_id, v[1:1] || [v[2] + 0.05] || v[3:] AS v
+  FROM base WHERE vec_id % 20 = 0
+),
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+),
+und AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+reach AS (
+  SELECT vec_id AS node, vec_id AS comp FROM emb
+  UNION
+  SELECT u.dst AS node, r.comp AS comp FROM reach r JOIN und u ON u.src = r.node
+),
+lab AS (SELECT node AS vec_id, MIN(comp) AS canonical_id FROM reach GROUP BY node)
+SELECT l.vec_id, l.canonical_id, c.n_members
+FROM lab l
+JOIN (SELECT canonical_id, COUNT(*) AS n_members FROM lab GROUP BY canonical_id) c
+USING (canonical_id)
 """,
         "cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v

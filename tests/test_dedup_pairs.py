@@ -1,0 +1,66 @@
+"""simhash_pairs (Hamming LSH) and embedding_dedup (cosine components).
+
+The 16-bit simhash config and the exact embedding_dedup method are
+oracle-gated by the driver (queries `simhash_pairs`, `embedding_dedup`);
+these tests cover the SCALE configs the oracle can't express: 64-bit
+signatures and the LSH candidate path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maup_spark.functions.dedup import simhash_pairs
+from maup_spark.functions.similarity import embedding_dedup
+from maup_spark.queries import _corpus, _emb_corpus
+
+EXACT_OFF = 20_000_000_000_000  # _corpus copies every 7th doc verbatim
+
+
+def test_simhash_pairs_64bit_selectivity(spark, sf_dir):
+    """Production config (64-bit sigs, 16-bit bands): exact duplicates
+    survive at Hamming 0, and the candidate set is orders of magnitude
+    tighter than the 16-bit oracle config on the same corpus."""
+    corpus = _corpus(spark, sf_dir)
+    wide = simhash_pairs(corpus, n_bits=64, band_bits=16).cache()
+    narrow_n = simhash_pairs(corpus).count()  # 16-bit oracle config
+
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in wide.collect()}
+    n_docs = corpus.count()
+    exact_ids = [
+        r["doc_id"] for r in corpus.filter(F.col("doc_id") >= EXACT_OFF).collect()
+    ]
+    assert exact_ids
+    for dup in exact_ids:  # verbatim copy -> identical signature
+        assert rows[(dup - EXACT_OFF, dup)] == 0
+    # 16 bits over a shared vocabulary collides massively; 64 bits doesn't
+    assert len(rows) < narrow_n / 20
+    assert len(rows) < n_docs * n_docs / 100
+    assert all(h <= 3 for h in rows.values())
+    assert all(a < b for a, b in rows)
+
+
+def test_simhash_pairs_pigeonhole_guard(spark, sf_dir):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(_corpus(spark, sf_dir), max_hamming=4)  # 4 bands
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(_corpus(spark, sf_dir), band_bits=5)
+
+
+def test_embedding_dedup_lsh_matches_exact(spark, sf_dir):
+    """The LSH candidate path recovers the exact method's clusters on
+    near-identical vectors: at cosine ~0.999 per-table collision
+    probability is (1-θ/π)^8 ≈ 0.96, any-of-4-tables ≈ 1-4e-6 — so the
+    label maps should agree on (nearly) every vector."""
+    emb = _emb_corpus(spark, sf_dir)
+    want = {
+        r["vec_id"]: r["canonical_id"]
+        for r in embedding_dedup(emb, threshold=0.9, method="exact").collect()
+    }
+    got = {
+        r["vec_id"]: r["canonical_id"]
+        for r in embedding_dedup(emb, threshold=0.9, method="lsh").collect()
+    }
+    assert set(got) == set(want)  # every vector labeled in both
+    agree = sum(got[v] == want[v] for v in want)
+    assert agree / len(want) >= 0.95
+    assert any(c != v for v, c in want.items())  # clusters actually exist
