@@ -352,16 +352,25 @@ def hot_cells(
     mean; its salt factor is ceil(count / mean) capped at 32.  This is
     the dense-urban-tile detector the north_star calls for — an
     aggregation pass over the indexed side, cheap relative to the join.
+
+    Only the HOT rows are collected (the mean rides a broadcast scalar
+    join): the driver sees O(#hot cells), never the full histogram —
+    at an adaptive-grid res over a dense layer the histogram itself
+    is millions of rows.
     """
-    rows = df.groupBy(cell_col).count().collect()
-    if not rows:
-        return {}
-    mean = sum(r["count"] for r in rows) / len(rows)
-    out = {}
-    for r in rows:
-        if r["count"] > threshold_ratio * mean:
-            out[r[cell_col]] = min(32, int(r["count"] / mean) + 1)
-    return out
+    counts = df.groupBy(cell_col).count()
+    mean_df = counts.agg(F.avg("count").alias("__mean"))
+    hot = (
+        counts.join(F.broadcast(mean_df), F.lit(True))
+        .filter(F.col("count") > threshold_ratio * F.col("__mean"))
+        .select(
+            cell_col,
+            F.least(
+                F.lit(32), (F.col("count") / F.col("__mean")).cast("int") + 1
+            ).alias("__salt_k"),
+        )
+    )
+    return {r[cell_col]: r["__salt_k"] for r in hot.collect()}
 
 
 def salted_join(

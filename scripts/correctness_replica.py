@@ -7,6 +7,7 @@ Usage: python scripts/correctness_replica.py [query ...]
 (no args = the five round-2 focus queries; pass names for any subset;
 MUST run from the repo root so Spark workers can import maup_spark)."""
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -23,7 +24,11 @@ names = sys.argv[1:] or [
     "smart_repair_nations", "resolve_overlaps_nations",
 ]
 
-spark = get_spark("drive-entry", master="local[8]")
+# REPLICA_MASTER=local[2] probes order-independence at a second
+# parallelism (the historical failure mode: sum order / partition count)
+spark = get_spark(
+    "drive-entry", master=os.environ.get("REPLICA_MASTER", "local[8]")
+)
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
