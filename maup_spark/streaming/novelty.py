@@ -1,0 +1,155 @@
+"""Streaming MinHash novelty filter — near-duplicate suppression at
+ingest time.
+
+The batch near-dup pipeline (``functions.dedup.minhash_lsh_pairs``)
+compares a full corpus against itself; an ingestion stream instead asks
+"is this page a near-duplicate of ANYTHING seen in the last horizon?".
+Construction:
+
+1. Per-row MinHash signature — the batch path's shingle explode +
+   hash-agg is re-expressed as a stateless higher-order-function fold
+   (``array_min(transform(shingles, ...))``), byte-identical to the
+   aggregated signature (tested), so a streaming row needs no shuffle
+   at all to be signed.
+2. Explode the signature into its LSH band keys (same 4×2 split as the
+   batch operator).
+3. ``dropDuplicatesWithinWatermark`` on the band key: only the FIRST
+   carrier of each band key within the watermark horizon survives.
+   State is O(distinct band keys per horizon), evicted by event time.
+4. A doc is NOVEL iff all of its band rows survived — i.e. none of its
+   bands was seen before.  A doc sharing ≥1 band with any earlier doc
+   (the LSH near-dup candidacy rule) is filtered.  The count runs in
+   ``foreachBatch``: a doc's band rows are produced from one input row
+   and always land in the same micro-batch, so a plain per-batch
+   group-count is exact and adds no stateful-aggregation watermark
+   delay.
+
+Within one micro-batch, ``dropDuplicatesWithinWatermark`` keeps an
+arbitrary first-encountered row per key (standard Spark semantics), so
+cross-doc collisions INSIDE a batch resolve nondeterministically —
+exactly like the batch operator's tie on identical timestamps.  The
+batch twin therefore defines novelty by strict (ts, doc_id) first
+arrival, which matches the stream whenever colliding docs arrive in
+different batches (the test drives one file per trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dedup import N_BANDS, N_MINHASH, SHINGLE
+
+
+def minhash_sig_cols(text_col: str = "text") -> list:
+    """The batch MinHash signature as stateless per-row columns: m_j =
+    min over word-k-shingles of the 60-bit md5-prefix hash (same hash,
+    same shingles as ``functions.dedup.minhash_signatures`` — parity is
+    pytest-gated)."""
+    toks = f"split({text_col}, ' ')"
+    sh = (
+        f"CASE WHEN size({toks}) >= {SHINGLE} "
+        f"THEN transform(sequence(0, size({toks}) - {SHINGLE}),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {SHINGLE}))) "
+        "ELSE array() END"
+    )
+    return [
+        F.expr(
+            f"array_min(transform({sh},"
+            f" s -> CAST(conv(substr(md5(concat(s, '#{j}')), 1, 15), 16, 10)"
+            " AS BIGINT)))"
+        ).alias(f"m{j}")
+        for j in range(N_MINHASH)
+    ]
+
+
+def _band_rows(signed: DataFrame) -> DataFrame:
+    """(doc_id, ts, band, key): one row per LSH band; docs too short to
+    shingle have null minhashes and produce NO band rows (they are
+    unconditionally novel)."""
+    keys = F.array(
+        *[
+            F.concat_ws("_", F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}"))
+            for j in range(N_BANDS)
+        ]
+    )
+    return (
+        signed.filter(F.col("m0").isNotNull())
+        .select("doc_id", "ts", F.posexplode(keys).alias("band", "key"))
+    )
+
+
+def novelty_batch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Batch twin: a doc is novel iff it is the strict first arrival
+    (min ts, then min doc_id) of EVERY one of its band keys.  Returns
+    the novel (doc_id, ts) rows."""
+    signed = docs.select("doc_id", "ts", *minhash_sig_cols(text_col))
+    bands = _band_rows(signed)
+    w = Window.partitionBy("band", "key").orderBy("ts", "doc_id")
+    firsts = bands.withColumn("__rn", F.row_number().over(w))
+    ok = (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("__won"),
+        )
+        .filter(F.col("__n") == F.col("__won"))
+        .select("doc_id")
+    )
+    short = signed.filter(F.col("m0").isNull()).select("doc_id")
+    return docs.join(ok.unionByName(short), "doc_id").select("doc_id", "ts")
+
+
+def streaming_novelty(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str = "doc_id bigint, ts timestamp, text string",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """availableNow streaming novelty filter: emits the (doc_id, ts) of
+    docs sharing no LSH band with anything seen within the watermark
+    horizon.  Band-key state is evicted by event time; the per-doc
+    band count runs in ``foreachBatch`` (exact — a doc's bands share
+    its micro-batch), writing parquet per batch."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    signed = stream.select("doc_id", "ts", F.col(text_col), *minhash_sig_cols(text_col))
+    bands = _band_rows(signed).withWatermark("ts", watermark)
+    survivors = bands.dropDuplicatesWithinWatermark(["band", "key"])
+    short = (
+        signed.filter(F.col("m0").isNull())
+        .select("doc_id", "ts", F.lit(-1).alias("band"))
+    )
+
+    def emit(batch: DataFrame, batch_id: int) -> None:
+        novel = (
+            batch.filter(F.col("band") >= 0)
+            .groupBy("doc_id", "ts")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") == N_BANDS)
+            .select("doc_id", "ts")
+        )
+        # short docs carry the band=-1 marker (one row, no LSH state):
+        # nothing to collide on, unconditionally novel
+        novel_short = (
+            batch.filter(F.col("band") == -1).select("doc_id", "ts").distinct()
+        )
+        novel.unionByName(novel_short).write.mode("append").parquet(output_dir)
+
+    merged = survivors.select("doc_id", "ts", "band").unionByName(
+        short.select("doc_id", "ts", "band")
+    )
+    return (
+        merged.writeStream.outputMode("append")
+        .foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -133,3 +133,67 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert len(got_fp) == len(set(got_fp))  # exactly once each
     assert set(got_fp) == want_fp
     assert got.count() == 200  # 100 dup fingerprints removed
+
+
+def test_minhash_hof_matches_agg(spark, sf_dir):
+    """The stateless per-row HOF signature (streaming path) is
+    byte-identical to the batch explode+hash-agg signature."""
+    from maup_spark.functions.dedup import minhash_signatures
+    from maup_spark.queries import _corpus
+    from maup_spark.streaming.novelty import minhash_sig_cols
+
+    docs = _corpus(spark, sf_dir)
+    want = {r["doc_id"]: tuple(r[f"m{j}"] for j in range(8))
+            for r in minhash_signatures(docs).collect()}
+    hof = docs.select("doc_id", *minhash_sig_cols()).collect()
+    got = {r["doc_id"]: tuple(r[f"m{j}"] for j in range(8))
+           for r in hof if r["m0"] is not None}
+    assert got == want
+
+
+def test_streaming_novelty_matches_batch(spark, tmp_path):
+    """Streaming LSH novelty filter == batch twin when colliding docs
+    arrive in different micro-batches (one file per trigger, files in
+    ts order).  Even ids >= 10 copy the text of id-10 (seen one file
+    earlier -> filtered); id 13 and 33 are one-token docs (no shingle,
+    no bands -> unconditionally novel)."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.streaming.novelty import novelty_batch, streaming_novelty
+
+    # even ids copy the text of (id % 10) — the file-0 original — so
+    # every even doc in files 1-5 collides with a band key seen in an
+    # earlier micro-batch; odd ids have unique text
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id",
+        "timestamp_seconds(1704067200 + id * 60) AS ts",
+        """CASE WHEN id IN (13, 33) THEN 'tiny'
+                ELSE array_join(transform(sequence(1, 10),
+                    k -> md5(concat(CAST(CASE WHEN id % 2 = 0 THEN id % 10 ELSE id END AS STRING), '-', CAST(k AS STRING)))), ' ')
+           END AS text""",
+    )
+    src = str(tmp_path / "nvsrc")
+    import os
+
+    os.makedirs(src)
+    for k in range(6):  # file k = ids [10k, 10k+10), written in order
+        part = docs.filter((F.col("doc_id") >= 10 * k) & (F.col("doc_id") < 10 * (k + 1)))
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_novelty(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "nvckpt"),
+        output_dir=str(tmp_path / "nvout"),
+        watermark="30 minutes",
+    )
+    q.awaitTermination(240)
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "nvout")).collect()}
+    want = {r["doc_id"] for r in novelty_batch(docs).collect()}
+    assert got == want
+    # structural expectations: originals novel, later even copies are not
+    assert {0, 2, 4, 6, 8}.issubset(got)
+    assert not any(i in got for i in range(10, 60) if i % 2 == 0 and i not in (13, 33))
+    assert {13, 33}.issubset(got)  # short docs: no bands, always novel
+    assert all(i in got for i in range(60) if i % 2 == 1 and i not in (13, 33))
