@@ -249,9 +249,15 @@ def simhash_pairs(
     ``minhash_lsh_pairs``: a pair is emitted only from the first band
     whose keys match, so no ``.distinct()`` exchange is needed.
 
-    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.  The Hamming
-    distance is a static per-bit character comparison — pure codegen,
-    engine-portable (no integer-width or conv() asymmetries).
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.  Band keys and
+    ≤32-bit integer chunks of the signature are projected ONCE PER ROW
+    before the joins; per candidate pair the work is then plain column
+    equality plus ``bit_count(xor)`` — the first cut evaluated the
+    bitstring character-by-character inside the post-join filters
+    (~128 substring calls per pair) and spent 162 s at 10^6 docs where
+    this shape spends ~23 s (scripts/bench_scale.py).  The hamming
+    VALUE is unchanged, so the oracle keeps its portable character-
+    compare formulation.
 
     Scale knobs: the default (16-bit sigs, 4-bit bands) is the ORACLE
     config — only 16 buckets per band, so per-band fan-in is n/16 and
@@ -268,40 +274,50 @@ def simhash_pairs(
             f"pigeonhole needs max_hamming < n_bands ({max_hamming} >= {n_bands}):"
             " a qualifying pair could differ in every band and be missed"
         )
-    sigs = simhash_signatures(docs, text_col, n_bits=n_bits).localCheckpoint(
-        eager=False
+    n_chunks = (n_bits + 31) // 32
+    sigs = (
+        simhash_signatures(docs, text_col, n_bits=n_bits)
+        .select(
+            "doc_id",
+            *[
+                F.substring("simhash", b * band_bits + 1, band_bits).alias(f"k{b}")
+                for b in range(n_bands)
+            ],
+            *[
+                F.conv(
+                    F.substring("simhash", c * 32 + 1, min(32, n_bits - c * 32)),
+                    2,
+                    10,
+                )
+                .cast("long")
+                .alias(f"h{c}")
+                for c in range(n_chunks)
+            ],
+        )
+        .localCheckpoint(eager=False)
     )
 
-    def band(side: str, b: int) -> F.Column:
-        return F.substring(F.col(f"{side}.simhash"), b * band_bits + 1, band_bits)
+    hamming = None
+    for c in range(n_chunks):
+        term = F.bit_count(
+            F.col(f"a.h{c}").bitwiseXOR(F.col(f"b.h{c}"))
+        )
+        hamming = term if hamming is None else hamming + term
 
     out = None
     for b in range(n_bands):
         a = sigs.alias("a")
         c = sigs.alias("b")
-        cond = (band("a", b) == band("b", b)) & (
+        cond = (F.col(f"a.k{b}") == F.col(f"b.k{b}")) & (
             F.col("a.doc_id") < F.col("b.doc_id")
         )
         for j in range(b):
-            cond = cond & (band("a", j) != band("b", j))
+            cond = cond & (F.col(f"a.k{j}") != F.col(f"b.k{j}"))
         part = a.join(c, cond).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("__sa"),
-            F.col("b.simhash").alias("__sb"),
+            hamming.cast("int").alias("hamming"),
         )
         out = part if out is None else out.unionByName(part)
 
-    hamming = None
-    for i in range(n_bits):
-        term = F.when(
-            F.substring(F.col("__sa"), i + 1, 1)
-            != F.substring(F.col("__sb"), i + 1, 1),
-            1,
-        ).otherwise(0)
-        hamming = term if hamming is None else hamming + term
-    return (
-        out.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return out.filter(F.col("hamming") <= max_hamming)

@@ -39,6 +39,33 @@ DOC_QUERIES = [
 ]
 
 
+def _extra_stages(spark, sf_dir):
+    """Scale-path configs the driver queries can't express: the driver
+    gate runs the SQL-portable configs (16-bit simhash, exact cosine);
+    at 10^6 docs those would blow up quadratically by design, so here
+    we bench the production shapes instead."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.functions.dedup import simhash_pairs
+    from maup_spark.functions.similarity import embedding_dedup
+
+    def simhash_pairs_64(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        return simhash_pairs(docs, n_bits=64, band_bits=16)
+
+    def embedding_dedup_lsh(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_part = spark.sparkContext.defaultParallelism
+        return embedding_dedup(emb.repartition(n_part), threshold=0.9, method="lsh")
+
+    return {
+        "simhash_pairs_64": simhash_pairs_64,
+        "embedding_dedup_lsh": embedding_dedup_lsh,
+    }
+
+
 def build_corpus(spark, n_docs: int, out_dir: str) -> None:
     """Deterministic corpus: doc i's text is 12+(i%57) 8-hex words from
     md5(base-k); every 64th doc copies its predecessor (exact-dup rate
@@ -93,11 +120,13 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     rows_out: dict[str, int] = {}
-    for name in DOC_QUERIES:
+    extra = _extra_stages(spark, sf_dir)
+    for name in DOC_QUERIES + list(extra):
+        run = extra.get(name, QUERIES.get(name))
         best = None
         for _ in range(repeats):
             t0 = time.perf_counter()
-            rows_out[name] = QUERIES[name](spark, sf_dir).count()
+            rows_out[name] = run(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
