@@ -56,6 +56,7 @@ from .operators.tiling import (
     overlay_areas_tiled,
     union_area_tiled,
 )
+from .io.geo import read_geojson, wkb_to_wkt_col, wkt_to_wkb_col
 from .session import get_spark
 from .warnings_ import (
     AreaCroppingWarning,
@@ -73,6 +74,9 @@ __all__ = [
     "Geometry",
     "IslandWarning",
     "OverlapWarning",
+    "read_geojson",
+    "wkb_to_wkt_col",
+    "wkt_to_wkb_col",
     "absorb_by_shared_perimeter",
     "adaptive_grid_for",
     "adjacencies",
