@@ -67,9 +67,13 @@ def training_data_pipeline(
         "exact_dedup", build_exact, inputs=["clean"]
     )
 
-    # 4. near-dup prune: for every LSH candidate pair keep the smaller id
+    # 4. near-dup prune: for every LSH candidate pair keep the smaller id.
+    #    Capped buckets: one boilerplate shingle shared corpus-wide can
+    #    capture a band's argmin for thousands of docs at once (measured
+    #    at 10^6 docs — BENCH.md "Boilerplate in miniature"); a
+    #    production crawl always runs the guard.
     def build_near():
-        pairs = minhash_lsh_pairs(deduped)
+        pairs = minhash_lsh_pairs(deduped, max_bucket=10_000)
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         return deduped.join(losers, "doc_id", "left_anti")
 
