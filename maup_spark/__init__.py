@@ -28,6 +28,11 @@ from .operators.assign import (
     assign_points,
     assign_to_max,
 )
+from .operators.aggregate import (
+    aggregate_by_assignment,
+    disaggregate_by_weight,
+    progress,
+)
 from .operators.intersections import intersections, prorate
 from .operators.normalize import normalize
 from .operators.repair import (
@@ -74,6 +79,9 @@ __all__ = [
     "Geometry",
     "IslandWarning",
     "OverlapWarning",
+    "aggregate_by_assignment",
+    "disaggregate_by_weight",
+    "progress",
     "read_geojson",
     "wkb_to_wkt_col",
     "wkt_to_wkb_col",

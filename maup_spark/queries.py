@@ -416,6 +416,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_corpus(spark, sf_dir))
 
 
+def q_aggregate_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README idiom (`sources[cols].groupby(assign(...))
+    .sum()`) as one operator over the rect fixtures: covering-first
+    assignment, max-area fallback (smallest-id ties), then one
+    partial-aggregating shuffle of n_chars per district."""
+    from .operators.aggregate import aggregate_by_assignment
+
+    return aggregate_by_assignment(
+        D.source_rects(spark, sf_dir),
+        D.districts(spark),
+        ["n_chars"],
+        source_id="entity_id",
+        target_id="district_id",
+        source_bounds=("x0", "y0", "x1", "y1"),
+        target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+    )
+
+
 def q_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming MinHash novelty filter under the
     gate (arrival order := doc_id): a doc survives iff it is the first
@@ -605,6 +623,7 @@ QUERIES.update(
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "novelty_docs": q_novelty_docs,
+        "aggregate_rects": q_aggregate_rects,
         "embedding_dedup": q_embedding_dedup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -729,6 +748,41 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        # README-idiom aggregate: covering-first assign (exactly-one
+        # cover), max-area fallback (area DESC, district_id ASC), sum
+        "aggregate_rects": f"""
+WITH src AS ({D.source_rects_oracle_cte()}),
+d AS ({D.districts_oracle_cte()}),
+cov AS (
+  SELECT s.entity_id, MIN(d.district_id) AS district_id
+  FROM src s JOIN d
+    ON d.x0 <= s.x0 AND s.x1 <= d.x1 AND d.y0 <= s.y0 AND s.y1 <= d.y1
+  GROUP BY s.entity_id HAVING COUNT(*) = 1
+),
+rest AS (
+  SELECT s.* FROM src s LEFT JOIN cov USING (entity_id)
+  WHERE cov.district_id IS NULL
+),
+area AS (
+  SELECT r.entity_id, d.district_id,
+         (LEAST(r.x1, d.x1) - GREATEST(r.x0, d.x0))
+       * (LEAST(r.y1, d.y1) - GREATEST(r.y0, d.y0)) AS a
+  FROM rest r JOIN d
+    ON LEAST(r.x1, d.x1) > GREATEST(r.x0, d.x0)
+   AND LEAST(r.y1, d.y1) > GREATEST(r.y0, d.y0)
+),
+best AS (
+  SELECT entity_id, district_id FROM (
+    SELECT entity_id, district_id,
+           ROW_NUMBER() OVER (PARTITION BY entity_id
+                              ORDER BY a DESC, district_id) AS rn
+    FROM area) WHERE rn = 1
+),
+asg AS (SELECT * FROM cov UNION ALL SELECT * FROM best)
+SELECT a.district_id, SUM(s.n_chars) AS n_chars_sum
+FROM asg a JOIN src s USING (entity_id)
+GROUP BY a.district_id
 """,
         # streaming novelty filter's batch twin: first-arrival-of-every-
         # band rule over the same minhash band keys as minhash_lsh

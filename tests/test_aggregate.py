@@ -1,0 +1,68 @@
+"""aggregate_by_assignment / disaggregate_by_weight / progress.
+
+The assign+sum path is oracle-gated by the driver (`aggregate_rects`);
+these cover the pieces the oracle can't see.
+"""
+
+from pyspark.sql import functions as F
+
+from maup_spark import disaggregate_by_weight, progress
+from maup_spark.operators.aggregate import aggregate_by_assignment
+from maup_spark import datagen as D
+
+
+def test_aggregate_conserves_assigned_mass(spark, sf_dir):
+    src = D.source_rects(spark, sf_dir)
+    out = aggregate_by_assignment(
+        src,
+        D.districts(spark),
+        ["n_chars"],
+        source_id="entity_id",
+        target_id="district_id",
+        source_bounds=("x0", "y0", "x1", "y1"),
+        target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+    )
+    total_out = out.agg(F.sum("n_chars_sum")).first()[0]
+    # conservation over ASSIGNABLE sources: a rect wholly inside a
+    # knocked-out district overlaps no live district and is NULL-
+    # assigned (reference semantics); everything else lands exactly once
+    d = D.districts(spark)
+    reachable = (
+        src.join(
+            F.broadcast(d),
+            (F.least("x1", "dxmax") > F.greatest("x0", "dxmin"))
+            & (F.least("y1", "dymax") > F.greatest("y0", "dymin")),
+        )
+        .select("entity_id")
+        .distinct()
+    )
+    total_in = (
+        src.join(reachable, "entity_id").agg(F.sum("n_chars")).first()[0]
+    )
+    assert total_out == total_in
+
+
+def test_disaggregate_inverts_shares(spark):
+    targets = spark.createDataFrame(
+        [(1, 100.0), (2, 60.0)], "target_id long, pop double"
+    )
+    assignment = spark.createDataFrame(
+        [(10, 1, 3.0), (11, 1, 1.0), (12, 2, 2.0)],
+        "source_id long, target_id long, w double",
+    )
+    rows = {
+        r["source_id"]: r["pop_part"]
+        for r in disaggregate_by_weight(
+            targets, assignment, ["pop"], weight_col="w"
+        ).collect()
+    }
+    assert rows == {10: 75.0, 11: 25.0, 12: 60.0}
+    # conservation: parts sum back to the target totals
+    assert sum(rows.values()) == 160.0
+
+
+def test_progress_scopes_job_group(spark):
+    with progress(spark, "unit-test-group"):
+        spark.range(10).count()
+    # after the context the group is cleared; a second job runs fine
+    assert spark.range(5).count() == 5
