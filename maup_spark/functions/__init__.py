@@ -1,4 +1,11 @@
-from .text import doc_fingerprint, lang_id, text_stats, token_count
+from .text import (
+    doc_fingerprint,
+    lang_id,
+    line_dedup,
+    repetition_score,
+    text_stats,
+    token_count,
+)
 from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -16,8 +23,10 @@ __all__ = [
     "exact_dedup",
     "ivf_topk",
     "lang_id",
+    "line_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "repetition_score",
     "simhash_pairs",
     "simhash_signatures",
     "text_stats",

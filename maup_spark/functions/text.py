@@ -114,3 +114,96 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("fingerprint"),
         F.md5(F.substring(F.col(text_col), 1, 64)).alias("prefix_fingerprint"),
     )
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality-filter family): duplicate-token fraction and top-bigram
+    fraction, emitted as scaled BIGINTs (engine-portable).
+
+    - ``dup_token_frac``: 1 − |distinct tokens| / |tokens| — one-pass
+      JVM (`array_distinct`), no explode, no shuffle.
+    - ``top_bigram_frac``: occurrences of the most frequent bigram /
+      total bigrams — one explode + hash-agg (the grouping is what
+      makes it a shuffle; map-side combine keeps it O(distinct bigrams)).
+    A crawl pipeline drops docs above thresholds on either (boilerplate
+    listings, keyword stuffing, template pages)."""
+    toks = f"split({text_col}, ' ')"
+    base = docs.selectExpr(
+        "doc_id",
+        f"size({toks}) AS __n",
+        f"size(array_distinct({toks})) AS __nd",
+        f"""CASE WHEN size({toks}) >= 2
+               THEN transform(sequence(0, size({toks}) - 2),
+                    i -> concat_ws(' ', slice({toks}, i + 1, 2)))
+               ELSE array() END AS __bigrams""",
+    )
+    big = (
+        base.select("doc_id", "__n", "__nd", F.explode_outer("__bigrams").alias("__bg"))
+        .groupBy("doc_id", "__n", "__nd", "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("doc_id", "__n", "__nd")
+        .agg(
+            F.max(F.when(F.col("__bg").isNotNull(), F.col("__c")).otherwise(0)).alias(
+                "__maxbg"
+            ),
+            F.sum(F.when(F.col("__bg").isNotNull(), F.col("__c")).otherwise(0)).alias(
+                "__nbg"
+            ),
+        )
+    )
+    dup_frac = 1.0 - F.col("__nd") / F.col("__n")
+    top_frac = F.when(F.col("__nbg") > 0, F.col("__maxbg") / F.col("__nbg")).otherwise(
+        F.lit(0.0)
+    )
+    return big.select(
+        "doc_id",
+        F.round(dup_frac * 1e6).cast("bigint").alias("dup_token_frac_e6"),
+        F.round(top_frac * 1e6).cast("bigint").alias("top_bigram_frac_e6"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
+    pass): a line appearing in more than ``max_doc_freq`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, footers) and is
+    removed from every document; surviving lines are reassembled in
+    their original order.
+
+    Shape: posexplode(lines) → distinct (line-hash, doc) → hash-agg doc
+    frequency → broadcast-or-shuffle anti-join of hot lines →
+    array_sort struct reassembly.  Everything is JVM; the only wide
+    exchanges are the doc-frequency agg and the per-doc reassembly agg,
+    both map-side combining.  Returns (doc_id, text) with boilerplate
+    lines stripped (a doc that was ALL boilerplate keeps an empty
+    text)."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("__h", F.md5(F.col("line")))
+    freq = (
+        lines.select("__h", "doc_id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__h")
+    )
+    kept = lines.join(freq, "__h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

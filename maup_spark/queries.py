@@ -416,6 +416,31 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_corpus(spark, sf_dir))
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import repetition_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    return repetition_score(docs.repartition(n_part))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal: wrap every doc with a
+    corpus-wide header and a 1-in-5 footer (synthetic boilerplate), run
+    the corpus-level line-frequency dedup, and expect exactly the
+    original text back."""
+    from .functions.text import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    wrapped = docs.repartition(n_part).selectExpr(
+        "doc_id",
+        "concat('SHARED HEADER LINE\\n', text, '\\nFOOTER ',"
+        " CAST(doc_id % 5 AS STRING)) AS text",
+    )
+    return line_dedup(wrapped, max_doc_freq=2)
+
+
 def q_aggregate_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference README idiom (`sources[cols].groupby(assign(...))
     .sum()`) as one operator over the rect fixtures: covering-first
@@ -624,6 +649,8 @@ QUERIES.update(
         "simhash_pairs": q_simhash_pairs,
         "novelty_docs": q_novelty_docs,
         "aggregate_rects": q_aggregate_rects,
+        "repetition_score": q_repetition_score,
+        "line_dedup": q_line_dedup,
         "embedding_dedup": q_embedding_dedup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
@@ -748,6 +775,49 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        # Gopher-style repetition signals; <2-token docs keep 0 fracs
+        "repetition_score": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd, toks FROM t),
+bgr AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END) AS bg
+  FROM base
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, MAX(c) AS maxbg, SUM(c) AS nbg FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(ROUND((1.0e0 - CAST(b.nd AS DOUBLE) / b.n) * 1e6) AS BIGINT)
+         AS dup_token_frac_e6,
+       CAST(ROUND(CASE WHEN COALESCE(a.nbg, 0) > 0
+                  THEN CAST(a.maxbg AS DOUBLE) / a.nbg ELSE 0.0e0 END * 1e6)
+            AS BIGINT) AS top_bigram_frac_e6
+FROM base b LEFT JOIN agg a USING (doc_id)
+""",
+        # CCNet-style boilerplate line removal over the wrapped corpus
+        "line_dedup": """
+WITH w AS (
+  SELECT doc_id,
+         'SHARED HEADER LINE' || chr(10) || text || chr(10) ||
+         'FOOTER ' || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, chr(10))) AS line,
+         UNNEST(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM w
+),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line),
+kept AS (SELECT doc_id, pos, line FROM l JOIN freq USING (line) WHERE df <= 2),
+outt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(o.text, '') AS text
+FROM (SELECT doc_id FROM documents) d LEFT JOIN outt o USING (doc_id)
 """,
         # README-idiom aggregate: covering-first assign (exactly-one
         # cover), max-area fallback (area DESC, district_id ASC), sum

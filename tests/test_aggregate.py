@@ -66,3 +66,41 @@ def test_progress_scopes_job_group(spark):
         spark.range(10).count()
     # after the context the group is cleared; a second job runs fine
     assert spark.range(5).count() == 5
+
+
+def test_line_dedup_restores_original(spark, sf_dir):
+    """Header/footer boilerplate wrapped around every doc is stripped
+    exactly, byte-identically restoring the original text."""
+    from maup_spark.functions.text import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wrapped = docs.selectExpr(
+        "doc_id",
+        "concat('HDR\\n', text, '\\nFTR ', CAST(doc_id % 3 AS STRING)) AS text",
+    )
+    out = line_dedup(wrapped, max_doc_freq=2)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == orig
+
+
+def test_repetition_score_known_values(spark):
+    from maup_spark.functions.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # 5 toks, 2 distinct; top bigram 'a b' 2/4
+            (2, "x y z"),           # no repetition; each bigram once -> 1/2
+            (3, "solo"),            # 1 token: no bigrams, 0 fracs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert rows[1]["dup_token_frac_e6"] == 600000   # 1 - 2/5
+    assert rows[1]["top_bigram_frac_e6"] == 500000  # 2/4
+    assert rows[2]["dup_token_frac_e6"] == 0
+    assert rows[2]["top_bigram_frac_e6"] == 500000  # 1/2
+    assert rows[3]["dup_token_frac_e6"] == 0
+    assert rows[3]["top_bigram_frac_e6"] == 0
