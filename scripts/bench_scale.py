@@ -30,6 +30,8 @@ DOC_QUERIES = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
+    "repetition_score",
+    "line_dedup",
     "exact_dedup",
     "simhash",
     "minhash_lsh",
