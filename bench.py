@@ -40,6 +40,10 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "normalize_lineitem",
             "assign_to_max_lineitem",
             "text_stats",
+            "repetition_score",
+            "line_dedup",
+            "novelty_docs",
+            "aggregate_rects",
             "minhash_lsh",
             "simhash",
             "cosine_topk",
