@@ -3,6 +3,7 @@ from .text import (
     lang_id,
     line_dedup,
     repetition_score,
+    stratified_sample,
     text_stats,
     token_count,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "repetition_score",
     "simhash_pairs",
     "simhash_signatures",
+    "stratified_sample",
     "text_stats",
     "token_count",
 ]

@@ -213,3 +213,38 @@ def line_dedup(
     return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-MIXTURE step of a
+    training pipeline (upsample rare languages / downsample crawl
+    boilerplate sources to hit a target distribution).
+
+    A row survives iff u(id) < fractions[stratum], where u is a 60-bit
+    md5-derived uniform in [0, 1).  Pure filter: no shuffle, no RNG
+    state, identical output at any parallelism / any engine (the same
+    arithmetic is ANSI SQL — the driver oracle recomputes it), and
+    re-running on a grown corpus keeps previously-sampled rows sampled
+    (consistent hashing, so downstream caches stay valid).
+
+    ``fractions`` maps stratum value → keep fraction; unlisted strata
+    get ``default_fraction``."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col), F.lit(f"#{salt}"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    frac = F.lit(default_fraction)
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return docs.filter(u < frac)

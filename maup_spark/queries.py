@@ -416,6 +416,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_corpus(spark, sf_dir))
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: per-language keep fractions
+    via a 60-bit md5 uniform — a pure filter, identical output at any
+    parallelism (consistent hashing keeps prior samples stable as the
+    corpus grows)."""
+    from .functions.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    out = stratified_sample(
+        docs.repartition(n_part),
+        {"en": 0.5, "de": 1.0, "zh": 0.25},
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import repetition_score
 
@@ -650,6 +667,7 @@ QUERIES.update(
         "novelty_docs": q_novelty_docs,
         "aggregate_rects": q_aggregate_rects,
         "repetition_score": q_repetition_score,
+        "mixture_sample": q_mixture_sample,
         "line_dedup": q_line_dedup,
         "embedding_dedup": q_embedding_dedup,
         "cosine_topk": q_cosine_topk,
@@ -775,6 +793,14 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        # deterministic mixture sampling: same md5-uniform arithmetic
+        "mixture_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))
+           AS BIGINT) / 1152921504606846976.0
+    < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.25
+                ELSE 0.1 END
 """,
         # Gopher-style repetition signals; <2-token docs keep 0 fracs
         "repetition_score": """

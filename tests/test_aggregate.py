@@ -104,3 +104,30 @@ def test_repetition_score_known_values(spark):
     assert rows[2]["top_bigram_frac_e6"] == 500000  # 1/2
     assert rows[3]["dup_token_frac_e6"] == 0
     assert rows[3]["top_bigram_frac_e6"] == 0
+
+
+def test_stratified_sample_consistent_hashing(spark, sf_dir):
+    """Deterministic mixture sampling: (1) rates land near targets,
+    (2) the sample of a HALF corpus is exactly the full-corpus sample
+    restricted to that half — growing the corpus never unsamples a
+    row (consistent hashing), (3) parallelism-independent."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.functions.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"en": 0.5, "de": 1.0}
+    full = {r["doc_id"] for r in stratified_sample(docs, fr).collect()}
+    half_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    half = {r["doc_id"] for r in stratified_sample(half_docs, fr).collect()}
+    assert half == {d for d in full if d % 2 == 0}
+
+    n_de = docs.filter(F.col("lang") == "de").count()
+    kept_de = stratified_sample(docs, fr).filter(F.col("lang") == "de").count()
+    assert kept_de == n_de  # fraction 1.0 keeps every row
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = stratified_sample(docs, fr).filter(F.col("lang") == "en").count()
+    assert abs(kept_en / n_en - 0.5) < 0.25  # small-sample tolerance
+
+    repart = {r["doc_id"] for r in stratified_sample(docs.repartition(7), fr).collect()}
+    assert repart == full
