@@ -33,8 +33,10 @@ from ..index.cells import CellGrid
 from .spatial import (
     DEFAULT_GRID,
     candidate_pairs,
+    covers_area_udf,
     covers_udf,
     geom_broadcast,
+    make_covers_area_by_id_udf,
     make_covers_by_id_udf,
     make_dist_by_id_udf,
     make_intersection_area_by_id_udf,
@@ -281,45 +283,46 @@ def assign(
         broadcast_targets=broadcast_targets,
         drop_target_geom=broadcast_targets,
     )
+    # FUSED refine: one Arrow pass computes (covers, area) per candidate
+    # pair — the two-phase covering-then-area formulation ran two
+    # candidate joins and shipped every batch to Python twice.
+    # Semantics preserved exactly: a source covered by EXACTLY ONE
+    # target takes it (method 'covering'); otherwise the max-positive-
+    # area target wins, smallest target id on ties (method 'area').
     if broadcast_targets:
         bc = geom_broadcast(tgt, "__tid", "__tgeom")
-        covers_pred = make_covers_by_id_udf(bc)(F.col("__tid"), F.col("__sgeom"))
+        ca = make_covers_area_by_id_udf(bc)(F.col("__tid"), F.col("__sgeom"))
     else:
-        covers_pred = covers_udf(F.col("__tgeom"), F.col("__sgeom"))
-    covered = (
-        cand.filter(covers_pred)
-        .groupBy("__sid")
-        .agg(F.min("__tid").alias("__tid"), F.count("*").alias("__n"))
-        .filter(F.col("__n") == 1)
-        .select("__sid", "__tid")
+        ca = covers_area_udf(F.col("__tgeom"), F.col("__sgeom"))
+    pairs = cand.withColumn("__ca", ca).select(
+        "__sid",
+        "__tid",
+        F.col("__ca.covers").alias("__cov"),
+        F.col("__ca.area").alias("__area"),
     )
-
-    unassigned = src.join(covered.select("__sid"), "__sid", "left_anti")
-    by_area = assign_by_area(
-        unassigned.selectExpr(
-            f"__sid AS {source_id}", "__sgeom AS geometry", *(source_bounds or ())
-        ),
-        tgt.selectExpr(
-            f"__tid AS {target_id}", "__tgeom AS geometry", *(target_bounds or ())
-        ),
-        source_id,
-        target_id,
-        grid,
-        source_bounds=source_bounds,
-        target_bounds=target_bounds,
-        broadcast_targets=broadcast_targets,
+    w = Window.partitionBy("__sid")
+    pairs = pairs.withColumn(
+        "__ncov", F.sum(F.col("__cov").cast("int")).over(w)
     )
-
-    phase1 = covered.select(
-        F.col("__sid").alias(source_id),
-        F.col("__tid").alias(target_id),
-        F.lit("covering").alias("method"),
+    eligible = pairs.filter(
+        ((F.col("__ncov") == 1) & F.col("__cov"))
+        | ((F.col("__ncov") != 1) & (F.col("__area") > 0))
     )
-    phase2 = by_area.withColumn("method", F.lit("area"))
-    assigned = phase1.unionByName(phase2)
+    wr = Window.partitionBy("__sid").orderBy(F.desc("__area"), F.asc("__tid"))
+    best = (
+        eligible.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__sid").alias(source_id),
+            F.col("__tid").alias(target_id),
+            F.when(F.col("__ncov") == 1, F.lit("covering"))
+            .otherwise(F.lit("area"))
+            .alias("method"),
+        )
+    )
     out = (
         sources.select(source_id)
-        .join(assigned, source_id, "left")
+        .join(best, source_id, "left")
         .select(source_id, target_id, "method")
     )
     if warn_unassigned:

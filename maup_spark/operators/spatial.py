@@ -27,7 +27,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+_COVERS_AREA_TYPE = StructType(
+    [StructField("covers", BooleanType()), StructField("area", DoubleType())]
+)
 
 from ..geom import vector as V
 from ..index.cells import CellGrid
@@ -227,39 +236,78 @@ def make_pip_by_id_udf(bc):
     return F.pandas_udf(batch, "boolean")
 
 
+def _covers_values(bc, tids, swkbs, caches):
+    """Shared covers kernel: rect fast path via cached target bounds,
+    exact Geometry.covers otherwise.  ``caches`` is the host function's
+    __dict__ (per-worker persistent)."""
+    from ..geom.base import Geometry
+    from ..geom.vector import batch_rect_bounds_arr, fast_rect_bounds
+
+    cache = caches.setdefault("_geoms", {})
+    rcache = caches.setdefault("_rects", {})
+    sb = batch_rect_bounds_arr(swkbs)
+    out = []
+    for i, (tid, sw) in enumerate(zip(tids, swkbs)):
+        if tid not in rcache:
+            rcache[tid] = fast_rect_bounds(bc.value[tid])
+        tr = rcache[tid]
+        srow = sb[i]
+        if tr is not None and srow[0] == srow[0]:
+            out.append(
+                tr[0] <= srow[0]
+                and tr[1] <= srow[1]
+                and tr[2] >= srow[2]
+                and tr[3] >= srow[3]
+            )
+            continue
+        g = cache.get(tid)
+        if g is None:
+            g = cache[tid] = Geometry.from_wkb(bc.value[tid])
+        out.append(g.covers(Geometry.from_wkb(sw)))
+    return out
+
+
 def make_covers_by_id_udf(bc):
     """(target_id, source_wkb) -> target covers source."""
 
     def batch(tids, swkbs):
         import pandas as pd
 
-        from ..geom.base import Geometry
-        from ..geom.vector import batch_rect_bounds_arr, fast_rect_bounds
-
-        cache = batch.__dict__.setdefault("_geoms", {})
-        rcache = batch.__dict__.setdefault("_rects", {})
-        sb = batch_rect_bounds_arr(swkbs)
-        out = []
-        for i, (tid, sw) in enumerate(zip(tids, swkbs)):
-            if tid not in rcache:
-                rcache[tid] = fast_rect_bounds(bc.value[tid])
-            tr = rcache[tid]
-            srow = sb[i]
-            if tr is not None and srow[0] == srow[0]:
-                out.append(
-                    tr[0] <= srow[0]
-                    and tr[1] <= srow[1]
-                    and tr[2] >= srow[2]
-                    and tr[3] >= srow[3]
-                )
-                continue
-            g = cache.get(tid)
-            if g is None:
-                g = cache[tid] = Geometry.from_wkb(bc.value[tid])
-            out.append(g.covers(Geometry.from_wkb(sw)))
-        return pd.Series(out)
+        return pd.Series(_covers_values(bc, tids, swkbs, batch.__dict__))
 
     return F.pandas_udf(batch, "boolean")
+
+
+def make_covers_area_by_id_udf(bc):
+    """(target_id, source_wkb) -> struct(covers, area) in ONE Arrow
+    pass — the fused refine behind ``assign``: the two-phase
+    covering-then-area formulation shipped every candidate batch to
+    Python twice (and ran two candidate joins); computing both
+    predicates per pair halves the Arrow traffic and drops a join."""
+
+    def batch(tids, swkbs):
+        import pandas as pd
+
+        covers = _covers_values(bc, tids, swkbs, batch.__dict__)
+        twkbs = pd.Series([bc.value[t] for t in tids])
+        area = V.batch_intersection_area(swkbs, twkbs)
+        return pd.DataFrame({"covers": covers, "area": area})
+
+    return F.pandas_udf(batch, _COVERS_AREA_TYPE)
+
+
+@F.pandas_udf(_COVERS_AREA_TYPE)
+def covers_area_udf(t_wkbs, s_wkbs):
+    """Pair-WKB twin of ``make_covers_area_by_id_udf`` for the
+    non-broadcast (shuffle) path."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "covers": V.batch_covers(t_wkbs, s_wkbs),
+            "area": V.batch_intersection_area(s_wkbs, t_wkbs),
+        }
+    )
 
 
 def make_intersection_by_id_udf(bc, schema):
