@@ -32,6 +32,7 @@ DOC_QUERIES = [
     "doc_fingerprint",
     "repetition_score",
     "line_dedup",
+    "novelty_docs",
     "exact_dedup",
     "simhash",
     "minhash_lsh",
