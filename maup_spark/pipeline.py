@@ -21,10 +21,16 @@ from .io.lineage import StageRunner
 
 
 def training_data_pipeline(
-    spark: SparkSession, sf_dir: str, run_dir: str
+    spark: SparkSession, sf_dir: str, run_dir: str,
+    min_quality_e6: int = 500_000,
 ) -> dict[str, DataFrame]:
     """Returns {stage: DataFrame} for the checkpointed stages; the final
-    ``district_rollup`` is per-district clean-document character mass."""
+    ``district_rollup`` is per-district clean-document character mass.
+
+    ``min_quality_e6`` is the quality-gate threshold (the default is
+    ``quality_score``'s own keep bar; corpora with no natural-language
+    signal — e.g. the synthetic hex bench corpus — score 0.4 and need
+    a lower bar to flow through the remaining stages)."""
     from . import datagen as D
     from .functions.dedup import exact_dedup, minhash_lsh_pairs
     from .functions.multimodal import extract_text, pages
@@ -48,7 +54,10 @@ def training_data_pipeline(
     # 2. quality gate
     def build_clean():
         q = quality_score(docs)
-        return docs.join(q.filter(F.col("keep")).select("doc_id"), "doc_id")
+        return docs.join(
+            q.filter(F.col("score_e6") >= min_quality_e6).select("doc_id"),
+            "doc_id",
+        )
 
     clean = out["clean"] = runner.run_stage("clean", build_clean, inputs=["docs"])
 
