@@ -416,6 +416,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_corpus(spark, sf_dir))
 
 
+def q_disaggregate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """disaggregate_by_weight under the gate: split each order's
+    o_totalprice down to its lineitems proportionally to l_quantity
+    (window share + one join; scaled-BIGINT output)."""
+    from .operators.aggregate import disaggregate_by_weight
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey * 100 + l_linenumber AS source_id",
+        "l_orderkey AS target_id",
+        "l_quantity AS w",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS target_id", "o_totalprice AS price"
+    )
+    out = disaggregate_by_weight(orders, li, ["price"], weight_col="w")
+    return out.select(
+        "source_id",
+        "target_id",
+        F.round(F.col("price_part") * 1e3).cast("bigint").alias("price_part_e3"),
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture sampling: per-language keep fractions
     via a 60-bit md5 uniform — a pure filter, identical output at any
@@ -668,6 +690,7 @@ QUERIES.update(
         "aggregate_rects": q_aggregate_rects,
         "repetition_score": q_repetition_score,
         "mixture_sample": q_mixture_sample,
+        "disaggregate_orders": q_disaggregate_orders,
         "line_dedup": q_line_dedup,
         "embedding_dedup": q_embedding_dedup,
         "cosine_topk": q_cosine_topk,
@@ -793,6 +816,22 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        # weight-share disaggregation (window share + join)
+        "disaggregate_orders": """
+WITH li AS (
+  SELECT l_orderkey * 100 + l_linenumber AS source_id,
+         l_orderkey AS target_id, l_quantity AS w
+  FROM lineitem
+),
+sh AS (
+  SELECT source_id, target_id,
+         w / SUM(w) OVER (PARTITION BY target_id) AS share
+  FROM li
+)
+SELECT s.source_id, s.target_id,
+       CAST(ROUND(o.o_totalprice * s.share * 1e3) AS BIGINT) AS price_part_e3
+FROM sh s JOIN orders o ON o.o_orderkey = s.target_id
 """,
         # deterministic mixture sampling: same md5-uniform arithmetic
         "mixture_sample": """
