@@ -1,4 +1,5 @@
 from .text import (
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     line_dedup,
@@ -18,6 +19,7 @@ from .similarity import ann_lsh_pairs, cosine_topk, embedding_dedup, ivf_topk
 
 __all__ = [
     "ann_lsh_pairs",
+    "bpe_token_count",
     "cosine_topk",
     "doc_fingerprint",
     "embedding_dedup",

@@ -248,3 +248,27 @@ def stratified_sample(
     for k, v in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
     return docs.filter(u < frac)
+
+
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counts for budget accounting: whitespace tokens AND a
+    BPE-ish pretokenizer count (the GPT-2 pretokenizer shape — optional
+    leading space + letter runs | digit runs | punctuation runs |
+    whitespace — restricted to an RE2-compatible subset with no
+    lookahead, so the SAME pattern runs verbatim in Spark's Java regex
+    and the oracle's RE2).  The pretokenizer count upper-bounds real
+    BPE token counts and tracks them closely for budget planning; an
+    actual merge-table encode is a model artifact, not an engine op.
+
+    Pure projection (regexp_extract_all + size) — codegen, no shuffle."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{BPE_PRETOKEN_RE}', 0)")
+        ).alias("n_bpe_tokens"),
+    )

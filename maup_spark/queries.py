@@ -438,6 +438,19 @@ def q_disaggregate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    out = bpe_token_count(docs.repartition(n_part))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture sampling: per-language keep fractions
     via a 60-bit md5 uniform — a pure filter, identical output at any
@@ -690,6 +703,7 @@ QUERIES.update(
         "aggregate_rects": q_aggregate_rects,
         "repetition_score": q_repetition_score,
         "mixture_sample": q_mixture_sample,
+        "bpe_token_count": q_bpe_token_count,
         "disaggregate_orders": q_disaggregate_orders,
         "line_dedup": q_line_dedup,
         "embedding_dedup": q_embedding_dedup,
@@ -816,6 +830,14 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        # same RE2-safe pretokenizer pattern verbatim in both engines
+        "bpe_token_count": """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))
+         AS n_bpe_tokens
+FROM documents
 """,
         # weight-share disaggregation (window share + join)
         "disaggregate_orders": """

@@ -131,3 +131,17 @@ def test_stratified_sample_consistent_hashing(spark, sf_dir):
 
     repart = {r["doc_id"] for r in stratified_sample(docs.repartition(7), fr).collect()}
     assert repart == full
+
+
+def test_bpe_token_count_known_values(spark):
+    from maup_spark.functions.text import bpe_token_count
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! I've 42 cats."), (2, ""), (3, "one two")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_count(docs).collect()}
+    # "Hello|,| world|!| I|'|ve| 42| cats|." -> 10 pretokens, 5 ws tokens
+    assert rows[1]["n_bpe_tokens"] == 10 and rows[1]["n_ws_tokens"] == 5
+    assert rows[2]["n_bpe_tokens"] == 0 and rows[2]["n_ws_tokens"] == 1
+    assert rows[3]["n_bpe_tokens"] == 2 and rows[3]["n_ws_tokens"] == 2
