@@ -15,6 +15,7 @@ from .dedup import (
     simhash_pairs,
     simhash_signatures,
 )
+from .profile import profile_table
 from .similarity import ann_lsh_pairs, cosine_topk, embedding_dedup, ivf_topk
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "line_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "profile_table",
     "repetition_score",
     "simhash_pairs",
     "simhash_signatures",

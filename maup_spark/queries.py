@@ -451,6 +451,18 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the data-validation doctor): one-pass per-column
+    nulls/distincts/min/max over the int+string columns of documents."""
+    from .functions.profile import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    return profile_table(
+        docs.repartition(n_part), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture sampling: per-language keep fractions
     via a 60-bit md5 uniform — a pure filter, identical output at any
@@ -704,6 +716,7 @@ QUERIES.update(
         "repetition_score": q_repetition_score,
         "mixture_sample": q_mixture_sample,
         "bpe_token_count": q_bpe_token_count,
+        "profile_documents": q_profile_documents,
         "disaggregate_orders": q_disaggregate_orders,
         "line_dedup": q_line_dedup,
         "embedding_dedup": q_embedding_dedup,
@@ -830,6 +843,16 @@ WITH {_CORPUS_CTE},
 tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
+""",
+        # per-column profile; long format, int+string columns only
+        "profile_documents": """
+SELECT 'doc_id' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct, CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str FROM documents
+UNION ALL
+SELECT 'lang' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT lang) AS n_distinct, CAST(MIN(lang) AS VARCHAR) AS min_str, CAST(MAX(lang) AS VARCHAR) AS max_str FROM documents
+UNION ALL
+SELECT 'source' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT source) AS n_distinct, CAST(MIN(source) AS VARCHAR) AS min_str, CAST(MAX(source) AS VARCHAR) AS max_str FROM documents
+UNION ALL
+SELECT 'n_chars' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT n_chars) AS n_distinct, CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str FROM documents
 """,
         # same RE2-safe pretokenizer pattern verbatim in both engines
         "bpe_token_count": """

@@ -145,3 +145,21 @@ def test_bpe_token_count_known_values(spark):
     assert rows[1]["n_bpe_tokens"] == 10 and rows[1]["n_ws_tokens"] == 5
     assert rows[2]["n_bpe_tokens"] == 0 and rows[2]["n_ws_tokens"] == 1
     assert rows[3]["n_bpe_tokens"] == 2 and rows[3]["n_ws_tokens"] == 2
+
+
+def test_profile_table_nulls_and_approx(spark):
+    from maup_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, v string",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_str"] == "1" and rows["k"]["max_str"] == "3"
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_str"] == "a" and rows["v"]["max_str"] == "b"
+    # sketch mode stays close on tiny input
+    approx = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert abs(approx["k"]["n_distinct"] - 3) <= 1
