@@ -33,6 +33,9 @@ DOC_QUERIES = [
     "repetition_score",
     "line_dedup",
     "novelty_docs",
+    "bpe_token_count",
+    "mixture_sample",
+    "profile_documents",
     "exact_dedup",
     "simhash",
     "minhash_lsh",
