@@ -846,13 +846,13 @@ SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums
 """,
         # per-column profile; long format, int+string columns only
         "profile_documents": """
-SELECT 'doc_id' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct, CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str FROM documents
+SELECT 'doc_id' AS column, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct, CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str FROM documents
 UNION ALL
-SELECT 'lang' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT lang) AS n_distinct, CAST(MIN(lang) AS VARCHAR) AS min_str, CAST(MAX(lang) AS VARCHAR) AS max_str FROM documents
+SELECT 'lang' AS column, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT lang) AS n_distinct, CAST(MIN(lang) AS VARCHAR) AS min_str, CAST(MAX(lang) AS VARCHAR) AS max_str FROM documents
 UNION ALL
-SELECT 'source' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT source) AS n_distinct, CAST(MIN(source) AS VARCHAR) AS min_str, CAST(MAX(source) AS VARCHAR) AS max_str FROM documents
+SELECT 'source' AS column, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT source) AS n_distinct, CAST(MIN(source) AS VARCHAR) AS min_str, CAST(MAX(source) AS VARCHAR) AS max_str FROM documents
 UNION ALL
-SELECT 'n_chars' AS column, COUNT(*) AS n_rows, SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(DISTINCT n_chars) AS n_distinct, CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str FROM documents
+SELECT 'n_chars' AS column, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT n_chars) AS n_distinct, CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str FROM documents
 """,
         # same RE2-safe pretokenizer pattern verbatim in both engines
         "bpe_token_count": """
@@ -960,7 +960,7 @@ best AS (
     FROM area) WHERE rn = 1
 ),
 asg AS (SELECT * FROM cov UNION ALL SELECT * FROM best)
-SELECT a.district_id, SUM(s.n_chars) AS n_chars_sum
+SELECT a.district_id, CAST(SUM(s.n_chars) AS BIGINT) AS n_chars_sum
 FROM asg a JOIN src s USING (entity_id)
 GROUP BY a.district_id
 """,

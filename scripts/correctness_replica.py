@@ -35,32 +35,46 @@ for t in TABLES:
 
 Q, O = E.queries(), E.oracle_sql()
 
+# The driver's hash is TYPE-SENSITIVE (round-1/round-3 lesson: DuckDB
+# HUGEINT/DECIMAL aggregates hash differently from Spark BIGINT even when
+# value-identical). Canonicalize each side's Arrow-level type into a
+# family and salt the hash with the (col, family) header, so an oracle
+# that leaves a bare SUM() (HUGEINT -> decimal128) fails HERE, not only
+# under the driver. Families live in maup_spark.typecanon (shared with
+# tests/test_oracle_types.py).
+from maup_spark.typecanon import PORTABLE, canon_arrow, canon_spark  # noqa: E402
 
-def value_hash(rows, cols):
+
+def value_hash(rows, cols, fams):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    header = "|".join(f"{cols[i]}:{fams[i]}" for i in order)
     keys = sorted("|".join(str(r[i]) for i in order) for r in rows)
-    return hashlib.md5("\n".join(keys).encode()).hexdigest()
+    return hashlib.md5((header + "\n" + "\n".join(keys)).encode()).hexdigest()
 
 
 ok = True
 for name in names:
     df = Q[name](spark, SF)
-    s_cols = df.columns
+    s_cols = [c.lower() for c in df.columns]
+    s_fams = [canon_spark(t) for _, t in df.dtypes]
     s_rows = [tuple(r) for r in df.collect()]
     s_schema = sorted((c.lower(), t) for c, t in df.dtypes)
-    res = con.execute(O[name])
-    o_cols = [d[0] for d in res.description]
-    o_types = [str(d[1]) for d in res.description]
-    o_rows = res.fetchall()
+    tbl = con.execute(O[name]).arrow()
+    o_cols = [c.lower() for c in tbl.schema.names]
+    o_fams = [canon_arrow(f.type) for f in tbl.schema]
+    o_rows = list(zip(*(col.to_pylist() for col in tbl.columns))) if tbl.num_columns else []
     rows_match = len(s_rows) == len(o_rows)
-    schema = sorted(zip([c.lower() for c in o_cols], o_types))
-    h_s = value_hash(s_rows, s_cols)
-    h_o = value_hash(o_rows, o_cols)
+    schema = sorted(zip(o_cols, [str(f.type) for f in tbl.schema]))
+    bad = sorted(set(f for f in o_fams + s_fams if f not in PORTABLE))
+    h_s = value_hash(s_rows, s_cols, s_fams)
+    h_o = value_hash(o_rows, o_cols, o_fams)
     print(f"{name}: rows {len(s_rows)}/{len(o_rows)} match={rows_match} "
-          f"spark_schema={s_schema} oracle_schema={schema} hash={'MATCH' if h_s == h_o else 'MISMATCH'}")
-    if not rows_match or h_s != h_o:
+          f"spark_schema={s_schema} oracle_schema={schema} "
+          f"hash={'MATCH' if h_s == h_o else 'MISMATCH'}"
+          + (f" TYPEFAIL(non-portable: {bad})" if bad else ""))
+    if not rows_match or h_s != h_o or bad:
         ok = False
-        for a, b in list(zip(sorted(s_rows), sorted(o_rows)))[:5]:
+        for a, b in list(zip(sorted(s_rows, key=str), sorted(o_rows, key=str)))[:5]:
             if str(a) != str(b):
                 print("  diff:", a, "vs", b)
 print("OVERALL", "PASS" if ok else "FAIL")
