@@ -34,19 +34,31 @@ def profile_table(
     cols = list(columns or df.columns)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn{i}"))
+        # df[c] resolves the exact column name — no SQL-string
+        # interpolation, so quotes/backquotes/dots in names are safe
+        aggs.append(F.sum(df[c].isNull().cast("long")).alias(f"__nn{i}"))
         if exact_distinct:
-            aggs.append(F.countDistinct(F.col(c)).alias(f"__nd{i}"))
+            aggs.append(F.countDistinct(df[c]).alias(f"__nd{i}"))
         else:
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__nd{i}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn{i}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx{i}"))
+            aggs.append(F.approx_count_distinct(df[c]).alias(f"__nd{i}"))
+        aggs.append(F.min(df[c]).cast("string").alias(f"__mn{i}"))
+        aggs.append(F.max(df[c]).cast("string").alias(f"__mx{i}"))
     wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __nn{i}, __nd{i}, __mn{i}, __mx{i}" for i, c in enumerate(cols)
+    # long format via explode over an array of structs (the stack()
+    # equivalent without building SQL text from column names)
+    row = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn{i}").alias("n_nulls"),
+                F.col(f"__nd{i}").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_str"),
+                F.col(f"__mx{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ])
+    ).alias("__r")
+    return wide.select(row, F.col("__n").alias("n_rows")).select(
+        "__r.column", "n_rows", "__r.n_nulls", "__r.n_distinct",
+        "__r.min_str", "__r.max_str",
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack})"
-        " AS (column, n_nulls, n_distinct, min_str, max_str)",
-        "__n AS n_rows",
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")

@@ -188,9 +188,14 @@ def line_dedup(
     both map-side combining.  Returns (doc_id, text) with boilerplate
     lines stripped (a doc that was ALL boilerplate keeps an empty
     text)."""
+    # F.split takes a Java REGEX; sep is a literal separator, so quote it
+    # (\Q..\E, Pattern.quote semantics) — an unquoted '.' or '|' would
+    # silently split on the wrong boundaries while array_join reassembles
+    # with the literal sep
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("pos", "line"),
     ).withColumn("__h", F.md5(F.col("line")))
     freq = (
         lines.select("__h", "doc_id")

@@ -938,13 +938,16 @@ def smart_repair(
             target_id=region_id,
             grid=grid,
         ).select(id_col, region_id)
-        region_geoms = {
-            r[region_id]: bytes(r["geometry"])
-            for r in regions.select(region_id, "geometry").collect()
-        }
+        # broadcast, not closure capture: a captured dict is pickled into
+        # EVERY task; the broadcast ships once per executor (spatial.py
+        # geom_broadcast idiom) — matters at 10^5 regions x many stages
+        from .spatial import geom_broadcast
+
+        region_bc = geom_broadcast(regions, region_id)
         work = geoms.select(id_col, "geometry").join(assignment, id_col)
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            region_geoms = region_bc.value
             rid = pdf[region_id].iloc[0]
             clip = (
                 Geometry.from_wkb(region_geoms[rid])

@@ -176,6 +176,11 @@ def arrangement_pieces_tiled(
         def emit(piece: Geometry, kind: str, owners: list, with_ivs: bool):
             if piece.area <= 0:
                 return
+            # keys are cell-strided: overflowing into the next tile's
+            # key space would silently corrupt the cross-tile stitch
+            assert next_idx[0] < _MAX_PIECES, (
+                f"tile {cell} emitted >= {_MAX_PIECES} pieces; raise "
+                "_MAX_PIECES or the tile resolution")
             key = cell * _MAX_PIECES + next_idx[0]
             next_idx[0] += 1
             okey = ",".join(str(o) for o in owners)
@@ -311,6 +316,9 @@ def _assemble_faces(labeled: DataFrame, fill_exterior: bool) -> DataFrame:
         ids, oks, degs, wkbs, areas = [], [], [], [], []
         for k, rings in enumerate(u.polygons()):
             g = Geometry("Polygon", [rings[0]] if fill_exterior else rings)
+            # comp labels are min piece_keys (often consecutive): a >=64-
+            # part union would collide with component comp+1's id space
+            assert k < 64, "stitched component unioned into >=64 polygons"
             ids.append(int(pdf["comp"].iloc[0]) * 64 + k)
             oks.append(okey)
             degs.append(deg)
@@ -675,6 +683,7 @@ def small_rook_to_queen_df(
             u = union_all([Geometry.from_wkb(x) for x in pdf["geometry"]])
             out = []
             for k, rings in enumerate(u.polygons()):
+                assert k < 64, "disk blob unioned into >=64 polygons"
                 out.append(Geometry("Polygon", rings).wkb)
             return pd.DataFrame(
                 {

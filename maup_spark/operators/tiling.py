@@ -354,6 +354,9 @@ def holes_of_union_tiled(
         ids, wkbs, areas = [], [], []
         for k, rings in enumerate(u.polygons()):
             filled = Geometry("Polygon", [rings[0]])
+            # id stride is 64 per component (labels are min piece_keys):
+            # a degenerate >=64-part union would alias component comp+1
+            assert k < 64, "stitched hole component split into >=64 parts"
             ids.append(int(pdf["comp"].iloc[0]) * 64 + k)
             wkbs.append(filled.wkb)
             areas.append(filled.area)
