@@ -10,6 +10,7 @@ MIN is engine-portable); shingles come from a window ``lead`` over
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,7 +89,10 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", max_bucket: int | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band
     (band = concatenation of 2 consecutive minhashes).  Equi-join on
@@ -96,10 +100,25 @@ def minhash_lsh_pairs(
     work.
 
     CANONICAL-BAND dedup (no ``.distinct()`` exchange): a pair is
-    emitted only from the FIRST band whose keys match — the equi-join
-    per band carries the extra "no earlier band matched" conjuncts as
-    post-join filters, so each pair appears exactly once and the output
-    set equals the any-band-match set with one fewer shuffle.
+    emitted only from the FIRST band whose keys match — the "no earlier
+    band matched" conjuncts run as post-join filters, so each pair
+    appears exactly once and the output set equals the any-band-match
+    set with no distinct exchange.
+
+    ``strategy="single_join"``: explode each signature row to
+    (band, key) and self-equi-join ONCE on (band, key) — one exchange
+    of the 4×-exploded projection (and Spark reuses it for both join
+    sides), where the round-3 ``"multi_join"`` shape ran N_BANDS
+    self-joins that shuffled the signature projection 8×.  Both
+    strategies emit the identical pair set (parity-tested).  Measured
+    at 10^6 docs (warm signature cache, local[32]): capped single 4.7 s
+    vs multi 7.9 s; UNCAPPED single 12.1 s vs multi 4.0 s — with an
+    unbounded hot bucket the single join concentrates the quadratic
+    bucket work plus the carried m-vector width into one exchange,
+    while per-band joins shuffle narrow rows.  Hence ``"auto"``
+    (default): single_join when ``max_bucket`` bounds bucket sizes
+    (the production web-scale config), multi_join for uncapped
+    exact-LSH semantics.
 
     ``max_bucket`` drops runaway buckets (boilerplate shingle sets at
     web scale) per band before its join — a quadratic-blowup guard.
@@ -109,57 +128,113 @@ def minhash_lsh_pairs(
     band matched" conjunct is waived), so a pair is suppressed only if
     EVERY band where its keys match is over the cap.  None keeps every
     bucket (exact LSH semantics, the default)."""
-    # materialize the signatures once: they feed BOTH sides of all four
-    # band self-joins (8 plan references) — without this the shingle
-    # explode + minhash aggregation re-runs 8× (98 s → 41 s at 10^6
-    # docs, scripts/bench_scale.py)
-    mh = minhash_signatures(docs, text_col).localCheckpoint(eager=False)
+    # materialize the signatures once: they feed both sides of the self-
+    # join(s) — without this the shingle explode + minhash aggregation
+    # re-runs once per plan reference (8× under multi_join: 98 s → 41 s
+    # at 10^6 docs, scripts/bench_scale.py).  MEMORY_AND_DISK persist,
+    # not localCheckpoint: localCheckpoint truncates lineage without
+    # durable storage, so losing one executor on a real cluster makes
+    # the cached blocks unrecoverable and fails the job mid-band-join;
+    # persist keeps the lineage and recomputes just the lost partitions.
+    if strategy == "auto":
+        strategy = "single_join" if max_bucket is not None else "multi_join"
+    mh = minhash_signatures(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def key_col(side: str, j: int) -> F.Column:
-        return F.concat_ws(
-            "_", F.col(f"{side}.m{2 * j}"), F.col(f"{side}.m{2 * j + 1}")
-        )
+    def bkey(b: int) -> F.Column:
+        return F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
 
     wide = mh
     if max_bucket is not None:
         # per-band hot flags (hot tables are tiny: only keys over the cap)
         for b in range(N_BANDS):
-            bk = F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
             hot = (
-                mh.select(bk.alias(f"__hk{b}"))
+                mh.select(bkey(b).alias(f"__hk{b}"))
                 .groupBy(f"__hk{b}")
                 .count()
                 .filter(F.col("count") > max_bucket)
                 .drop("count")
             )
             wide = (
-                wide.join(F.broadcast(hot), bk == F.col(f"__hk{b}"), "left")
+                wide.join(F.broadcast(hot), bkey(b) == F.col(f"__hk{b}"), "left")
                 .withColumn(f"__hot{b}", F.col(f"__hk{b}").isNotNull())
                 .drop(f"__hk{b}")
             )
+    else:
+        for b in range(N_BANDS):
+            wide = wide.withColumn(f"__hot{b}", F.lit(False))
 
-    out = None
-    for b in range(N_BANDS):
-        a = wide.alias("a")
-        c = wide.alias("b")
-        cond = (key_col("a", b) == key_col("b", b)) & (
-            F.col("a.doc_id") < F.col("b.doc_id")
-        )
-        if max_bucket is not None:
+    if strategy == "multi_join":
+        out = None
+        for b in range(N_BANDS):
+            a = wide.alias("a")
+            c = wide.alias("b")
+            cond = (
+                F.concat_ws("_", F.col(f"a.m{2 * b}"), F.col(f"a.m{2 * b + 1}"))
+                == F.concat_ws("_", F.col(f"b.m{2 * b}"), F.col(f"b.m{2 * b + 1}"))
+            ) & (F.col("a.doc_id") < F.col("b.doc_id"))
             # matching keys ⇒ both sides share the hot flag; test one
             cond = cond & ~F.col(f"a.__hot{b}")
-        for j in range(b):
-            earlier_no_emit = key_col("a", j) != key_col("b", j)
-            if max_bucket is not None:
+            for j in range(b):
                 # a capped band j could not have emitted the pair, so a
                 # band-j key match there must not veto this band
-                earlier_no_emit = earlier_no_emit | F.col(f"a.__hot{j}")
-            cond = cond & earlier_no_emit
-        part = a.join(c, cond).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+                earlier_no_emit = (
+                    (F.col(f"a.m{2 * j}") != F.col(f"b.m{2 * j}"))
+                    | (F.col(f"a.m{2 * j + 1}") != F.col(f"b.m{2 * j + 1}"))
+                    | F.col(f"a.__hot{j}")
+                )
+                cond = cond & earlier_no_emit
+            part = a.join(c, cond).select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+    if strategy != "single_join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # single_join: one (band, key) explode, one self-equi-join.  Rows
+    # carry the full m-vector + hot flags so the canonical-band veto
+    # evaluates post-join with plain column compares (codegen, O(bands)
+    # per pair).  Rows whose OWN band is hot are dropped pre-join —
+    # equivalent to the multi_join per-band exclusion.
+    exploded = (
+        wide.select(
+            "doc_id",
+            *[F.col(f"m{i}") for i in range(N_MINHASH)],
+            *[F.col(f"__hot{b}") for b in range(N_BANDS)],
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bkey(b).alias("key"),
+                        F.col(f"__hot{b}").alias("hot"),
+                    )
+                    for b in range(N_BANDS)
+                ])
+            ).alias("__bk"),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        .select("*", F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key"))
+        .filter(~F.col("__bk.hot"))
+        .drop("__bk")
+    )
+    a = exploded.alias("a")
+    c = exploded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    # canonical band, statically unrolled: for every j < band, band j
+    # must NOT have emitted the pair (keys differ, or band j was capped)
+    for j in range(N_BANDS - 1):
+        cond = cond & (
+            (F.col("a.band") <= F.lit(j))
+            | (F.col(f"a.m{2 * j}") != F.col(f"b.m{2 * j}"))
+            | (F.col(f"a.m{2 * j + 1}") != F.col(f"b.m{2 * j + 1}"))
+            | F.col(f"a.__hot{j}")
+        )
+    return a.join(c, cond).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
 
 
 def ngram_jaccard(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -246,6 +321,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     band_bits: int = SIMHASH_BAND_BITS,
     n_bits: int = SIMHASH_BITS,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance — the pair-
     generation stage the reference-style pipelines run after
@@ -277,6 +353,10 @@ def simhash_pairs(
     65,536 buckets per band, Hamming ≤ 3 still pigeonhole-guaranteed
     across the 4 bands.
     """
+    if strategy == "auto":
+        # measured tie at 10^6 docs (5.0 s both, 64-bit config); prefer
+        # the single exchange / fewer stages
+        strategy = "single_join"
     if n_bits % band_bits != 0:
         raise ValueError(f"band_bits {band_bits} must divide n_bits {n_bits}")
     n_bands = n_bits // band_bits
@@ -305,7 +385,9 @@ def simhash_pairs(
                 for c in range(n_chunks)
             ],
         )
-        .localCheckpoint(eager=False)
+        # MEMORY_AND_DISK, not localCheckpoint: keeps lineage so a lost
+        # executor recomputes its partitions instead of failing the job
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     hamming = None
@@ -315,20 +397,155 @@ def simhash_pairs(
         )
         hamming = term if hamming is None else hamming + term
 
-    out = None
-    for b in range(n_bands):
-        a = sigs.alias("a")
-        c = sigs.alias("b")
-        cond = (F.col(f"a.k{b}") == F.col(f"b.k{b}")) & (
-            F.col("a.doc_id") < F.col("b.doc_id")
+    if strategy == "multi_join":
+        out = None
+        for b in range(n_bands):
+            a = sigs.alias("a")
+            c = sigs.alias("b")
+            cond = (F.col(f"a.k{b}") == F.col(f"b.k{b}")) & (
+                F.col("a.doc_id") < F.col("b.doc_id")
+            )
+            for j in range(b):
+                cond = cond & (F.col(f"a.k{j}") != F.col(f"b.k{j}"))
+            part = a.join(c, cond).select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.cast("int").alias("hamming"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.filter(F.col("hamming") <= max_hamming)
+    if strategy != "single_join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # single_join: explode to (band, key), ONE self-equi-join on it,
+    # canonical-band veto statically unrolled post-join (same shape as
+    # minhash_lsh_pairs; rows carry the k-vector + h-chunks so per-pair
+    # work stays plain column compares + bit_count)
+    exploded = sigs.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("key"))
+                for b in range(n_bands)
+            ])
+        ).alias("__bk"),
+    ).select(
+        "doc_id",
+        *[F.col(f"k{b}") for b in range(n_bands)],
+        *[F.col(f"h{c}") for c in range(n_chunks)],
+        F.col("__bk.band").alias("band"),
+        F.col("__bk.key").alias("key"),
+    )
+    a = exploded.alias("a")
+    c = exploded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for j in range(n_bands - 1):
+        cond = cond & (
+            (F.col("a.band") <= F.lit(j)) | (F.col(f"a.k{j}") != F.col(f"b.k{j}"))
         )
-        for j in range(b):
-            cond = cond & (F.col(f"a.k{j}") != F.col(f"b.k{j}"))
-        part = a.join(c, cond).select(
+    return (
+        a.join(c, cond)
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        out = part if out is None else out.unionByName(part)
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
-    return out.filter(F.col("hamming") <= max_hamming)
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 8,
+    scope: str = "corpus",
+) -> DataFrame:
+    """Exact-substring duplication stats per document — the
+    "Deduplicating Training Data" (Lee et al. 2021) ExactSubstr pass at
+    a fixed match threshold.  A substring of ``min_len`` tokens that
+    occurs more than once in the corpus is a duplicated span; the
+    operator reports, per doc, how many duplicated ``min_len``-grams it
+    contains and how many of its tokens are covered by the UNION of
+    their spans (the quantity an ExactSubstr filter cuts on).
+
+    Two docs share an exact substring of >= L tokens iff they share an
+    L-token gram, so the distributed equivalent of the paper's suffix
+    array is gram-key grouping: the suffix array exists to find
+    arbitrary-length matches in O(n) single-node memory; at a fixed
+    threshold the equi-group on gram keys gives the identical duplicate
+    set with Spark-native shuffles.  Plan shape (2 exchanges of the
+    gram table, nothing else): JVM gram explode (zero shuffle) ->
+    window count over gram-key partitions (exchange 1; a window, not
+    agg+join-back, so the table is shuffled once) -> filter occurrences
+    > 1 (only duplicated grams survive) -> per-doc ordered window sweep
+    for interval union + hash-agg (exchange 2, reused by the final
+    groupBy).  Gram keys are 60-bit md5-prefix BIGINTs (the engine's
+    HashAggregate-friendly idiom, see minhash_signatures).
+
+    ``scope="corpus"`` counts any repeat (cross-doc or within-doc, the
+    paper's semantics); ``scope="cross_doc"`` requires the gram in >= 2
+    distinct docs.  Returns DataFrame[doc_id, n_tokens, dup_grams,
+    dup_token_cov] with a row for EVERY doc (zeros when clean)."""
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2 tokens")
+    grams = docs.selectExpr(
+        "doc_id",
+        f"""posexplode(
+              CASE WHEN size(split({text_col}, ' ')) >= {L}
+                   THEN transform(
+                          sequence(0, size(split({text_col}, ' ')) - {L}),
+                          i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {L})))
+                   ELSE array()
+              END) AS (pos, gram)""",
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("gkey"),
+    )
+    wk = Window.partitionBy("gkey")
+    if scope == "corpus":
+        dup = grams.withColumn("__n", F.count("*").over(wk)).filter(F.col("__n") > 1)
+    elif scope == "cross_doc":
+        dup = (
+            grams.withColumn(
+                "__nd", F.size(F.collect_set("doc_id").over(wk))
+            ).filter(F.col("__nd") > 1)
+        )
+    else:
+        raise ValueError(f"unknown scope {scope!r}")
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = dup.select(
+        "doc_id",
+        "pos",
+        F.greatest(
+            F.col("pos") + F.lit(L)
+            - F.greatest(F.col("pos"), F.max(F.col("pos") + F.lit(L)).over(wd)),
+            F.lit(0),
+        ).alias("__cov"),
+    )
+    per_doc = swept.groupBy("doc_id").agg(
+        F.count("*").alias("dup_grams"),
+        F.sum("__cov").cast("bigint").alias("dup_token_cov"),
+    )
+    base = docs.selectExpr(
+        "doc_id", f"CAST(size(split({text_col}, ' ')) AS BIGINT) AS n_tokens"
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+        F.coalesce("dup_token_cov", F.lit(0)).cast("bigint").alias("dup_token_cov"),
+    )

@@ -39,6 +39,7 @@ DOC_QUERIES = [
     "exact_dedup",
     "simhash",
     "minhash_lsh",
+    "substring_dedup",
     "pages_extract",
     "media_features",
     "frame_sample",

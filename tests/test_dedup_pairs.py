@@ -64,3 +64,66 @@ def test_embedding_dedup_lsh_matches_exact(spark, sf_dir):
     agree = sum(got[v] == want[v] for v in want)
     assert agree / len(want) >= 0.95
     assert any(c != v for v, c in want.items())  # clusters actually exist
+
+
+def _pairset(df, cols=("doc_a", "doc_b")):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_minhash_pair_strategies_identical(spark, sf_dir):
+    """single_join (one exploded (band,key) self-join) and multi_join
+    (round-3 per-band self-joins) must emit the IDENTICAL pair set —
+    with and without the hot-bucket cap."""
+    from maup_spark.functions.dedup import minhash_lsh_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    for cap in (None, 50):
+        single = _pairset(minhash_lsh_pairs(corpus, max_bucket=cap))
+        multi = _pairset(
+            minhash_lsh_pairs(corpus, max_bucket=cap, strategy="multi_join")
+        )
+        assert single == multi and single
+
+
+def test_simhash_pair_strategies_identical(spark, sf_dir):
+    from maup_spark.functions.dedup import simhash_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    for kw in (dict(), dict(n_bits=64, band_bits=16)):
+        single = _pairset(
+            simhash_pairs(corpus, **kw), cols=("doc_a", "doc_b", "hamming")
+        )
+        multi = _pairset(
+            simhash_pairs(corpus, strategy="multi_join", **kw),
+            cols=("doc_a", "doc_b", "hamming"),
+        )
+        assert single == multi and single
+
+
+def test_substring_dedup_closed_form(spark):
+    from maup_spark.functions.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # shares 8-gram with doc 2
+            (2, "x a b c d e f g h z"),
+            (3, "p q r s t u v w"),               # unique 8 tokens
+            (4, "t t t t t t t t t"),             # within-doc repeat
+            (5, "short doc"),                     # < 8 tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, min_len=8).collect()}
+    assert len(out) == 5
+    assert (out[1]["dup_grams"], out[1]["dup_token_cov"]) == (1, 8)
+    assert (out[2]["dup_grams"], out[2]["dup_token_cov"]) == (1, 8)
+    assert (out[3]["dup_grams"], out[3]["dup_token_cov"]) == (0, 0)
+    # two overlapping copies of "t"*8: union [0,8) u [1,9) = 9 tokens
+    assert (out[4]["dup_grams"], out[4]["dup_token_cov"]) == (2, 9)
+    assert (out[5]["n_tokens"], out[5]["dup_grams"]) == (2, 0)
+
+    cross = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, min_len=8, scope="cross_doc").collect()
+    }
+    assert (cross[1]["dup_grams"], cross[4]["dup_grams"]) == (1, 0)
