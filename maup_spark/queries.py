@@ -1732,3 +1732,121 @@ ov AS (
 SELECT cell_id, ROUND(SUM(a / 1.0e0), 9) AS coverage, COUNT(*) AS n_geoms
 FROM ov GROUP BY cell_id
 """
+
+
+def q_shapefile_roundtrip_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipped-ESRI-shapefile bootstrap under the driver gate: a nations
+    polygon layer WITH HOLES (unit square at (k%5, k//5), centered
+    square hole of side 0.1 + 0.02*(k%10)) plus DBF attributes is
+    written as a .zip shapefile (io.shapefile.write_shapefile_zip),
+    read back through the driver-side bootstrap parser
+    (read_shapefile_zip — the reference's only real input path,
+    reference tests/test_assign.py:146-148), and measured: the oracle's
+    closed-form hole areas and attribute values must survive the
+    SHP ring-orientation + DBF round trip."""
+    import os
+    import tempfile
+
+    from .geom.base import Geometry
+    from .geom import vector as V
+    from .io.shapefile import read_shapefile_zip, write_shapefile_zip
+
+    nat = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    records = []
+    for r in sorted(nat, key=lambda r: r["n_nationkey"]):
+        k = int(r["n_nationkey"])
+        gx, gy = float(k % 5), float(k // 5)
+        s = 0.1 + 0.02 * (k % 10)
+        outer = [[gx, gy], [gx + 1, gy], [gx + 1, gy + 1], [gx, gy + 1], [gx, gy]]
+        hx0, hy0 = gx + 0.5 - s / 2, gy + 0.5 - s / 2
+        hx1, hy1 = gx + 0.5 + s / 2, gy + 0.5 + s / 2
+        hole = [[hx0, hy0], [hx1, hy0], [hx1, hy1], [hx0, hy1], [hx0, hy0]]
+        records.append(
+            (Geometry.polygon(outer, [hole]), {"NKEY": k, "NAME": r["n_name"]})
+        )
+    path = os.path.join(tempfile.gettempdir(), "maup_spark_nations_shp.zip")
+    write_shapefile_zip(path, records, prj_wkt='PROJCS["synthetic"]')
+
+    df = read_shapefile_zip(spark, path)
+    area_udf = F.pandas_udf(V.batch_area, "double")
+    return df.select(
+        F.col("NKEY").alias("nation_id"),
+        F.col("NAME").alias("n_name"),
+        F.round(area_udf(F.col("geometry")) * F.lit(1.0e6))
+        .cast("bigint")
+        .alias("area_e6"),
+    )
+
+
+QUERIES["shapefile_roundtrip_nations"] = q_shapefile_roundtrip_nations
+
+# hole side s = 0.1 + 0.02*(k%10) in DOUBLE arithmetic (same IEEE op
+# order as the Python construction); area = 1 - s^2
+ORACLES["shapefile_roundtrip_nations"] = """
+SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+       n_name,
+       CAST(ROUND((1e0 - (0.1e0 + 0.02e0 * (n_nationkey % 10))
+                       * (0.1e0 + 0.02e0 * (n_nationkey % 10))) * 1e6)
+            AS BIGINT) AS area_e6
+FROM nation
+"""
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (suffix-array-style) dedup stats at an 8-token
+    match threshold over the dup-rich corpus (verbatim copies share all
+    their grams; the suffix-wrapped copies share all but the tail)."""
+    from .functions.dedup import substring_dedup
+
+    return substring_dedup(_corpus(spark, sf_dir), min_len=8)
+
+
+QUERIES["substring_dedup"] = q_substring_dedup
+
+# mirrors functions.dedup.substring_dedup at L=8: gram keys are 60-bit
+# md5-prefix BIGINTs; duplicated = total occurrences > 1; coverage =
+# union of [pos, pos+8) via the classic prev-max-end sweep
+ORACLES["substring_dedup"] = f"""
+WITH {_CORPUS_CTE},
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+g AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS pos
+  FROM t
+),
+k AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x',
+              substr(md5(array_to_string(toks[pos + 1 : pos + 8], ' ')), 1, 15))
+            AS BIGINT) AS gkey
+  FROM g
+),
+d AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gkey) AS n FROM k)
+  WHERE n > 1
+),
+s AS (
+  SELECT doc_id, pos,
+         MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM d
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS dup_grams,
+         CAST(SUM(GREATEST(pos + 8 - GREATEST(pos, COALESCE(prev_end, 0)), 0))
+              AS BIGINT) AS dup_token_cov
+  FROM s GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+       COALESCE(p.dup_grams, 0) AS dup_grams,
+       COALESCE(p.dup_token_cov, 0) AS dup_token_cov
+FROM corpus c LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -1,0 +1,119 @@
+"""Zipped-shapefile bootstrap: write -> read round-trip on synthesized
+zips (the reference's only real input format, reference
+tests/test_assign.py:146-148)."""
+
+import numpy as np
+import pytest
+
+from maup_spark.geom.base import Geometry, signed_area
+from maup_spark.io.shapefile import (read_shapefile_zip, shapefile_to_parquet,
+                                     write_shapefile_zip)
+
+
+def _sq(x0, y0, s):
+    return np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]],
+        dtype=float,
+    )
+
+
+def test_polygon_roundtrip_with_holes(spark, tmp_path):
+    path = str(tmp_path / "layer.zip")
+    donut = Geometry("Polygon", [_sq(0, 0, 4), _sq(1, 1, 1)])
+    multi = Geometry.multipolygon([[_sq(10, 0, 2)], [_sq(20, 0, 3), _sq(21, 1, 1)]])
+    write_shapefile_zip(
+        path,
+        [
+            (donut, {"NAME": "donut", "POP": 17}),
+            (multi, {"NAME": "twin", "POP": 5}),
+            (None, {"NAME": "void", "POP": 0}),
+        ],
+        prj_wkt='PROJCS["fake"]',
+    )
+    df = read_shapefile_zip(spark, path)
+    rows = {r["fid"]: r for r in df.collect()}
+    assert df.columns == ["fid", "geometry", "NAME", "POP"]
+    assert [rows[i]["NAME"] for i in range(3)] == ["donut", "twin", "void"]
+    assert [rows[i]["POP"] for i in range(3)] == [17, 5, 0]
+    assert rows[2]["geometry"] is None
+
+    g0 = Geometry.from_wkb(bytes(rows[0]["geometry"]))
+    assert g0.gtype == "Polygon"
+    assert g0.area == pytest.approx(16 - 1)
+    assert g0.num_interior_rings == 1
+
+    g1 = Geometry.from_wkb(bytes(rows[1]["geometry"]))
+    parts = list(g1.polygons())
+    assert len(parts) == 2
+    assert g1.area == pytest.approx(4 + 9 - 1)
+    # the hole landed on the polygon that contains it
+    holed = [rings for rings in parts if len(rings) > 1]
+    assert len(holed) == 1 and abs(signed_area(holed[0][0])) == pytest.approx(9)
+
+
+def test_point_and_line_roundtrip(spark, tmp_path):
+    ppath = str(tmp_path / "pts.zip")
+    write_shapefile_zip(
+        ppath,
+        [(Geometry.point(1.5, -2.25), {"ID": 1}), (Geometry.point(3, 4), {"ID": 2})],
+    )
+    pts = {
+        r["ID"]: Geometry.from_wkb(bytes(r["geometry"])).data
+        for r in read_shapefile_zip(spark, ppath).collect()
+    }
+    assert tuple(pts[1]) == (1.5, -2.25) and tuple(pts[2]) == (3.0, 4.0)
+
+    lpath = str(tmp_path / "lines.zip")
+    zigzag = Geometry.linestring([[0, 0], [1, 2], [3, 1]])
+    write_shapefile_zip(lpath, [(zigzag, {"ID": 7})])
+    (row,) = read_shapefile_zip(spark, lpath).collect()
+    g = Geometry.from_wkb(bytes(row["geometry"]))
+    assert np.allclose(next(iter(g.lines())), zigzag.data)
+
+
+def test_dbf_types_and_nulls(spark, tmp_path):
+    path = str(tmp_path / "typed.zip")
+    write_shapefile_zip(
+        path,
+        [
+            (Geometry.point(0, 0), {"N": 42, "F": 2.5, "L": True, "C": "abc"}),
+            (Geometry.point(1, 1), {"N": None, "F": None, "L": False, "C": None}),
+        ],
+    )
+    df = read_shapefile_zip(spark, path)
+    assert dict(df.dtypes) == {
+        "fid": "bigint", "geometry": "binary",
+        "N": "bigint", "F": "double", "L": "boolean", "C": "string",
+    }
+    a, b = sorted(df.collect(), key=lambda r: r["fid"])
+    assert (a["N"], a["L"], a["C"]) == (42, True, "abc")
+    assert a["F"] == pytest.approx(2.5)
+    assert (b["N"], b["F"], b["C"]) == (None, None, None)
+
+
+def test_shapefile_to_parquet_bootstrap(spark, tmp_path):
+    path = str(tmp_path / "boot.zip")
+    write_shapefile_zip(
+        path, [(Geometry("Polygon", [_sq(i, 0, 1)]), {"K": i}) for i in range(5)]
+    )
+    out = str(tmp_path / "boot_parquet")
+    shapefile_to_parquet(spark, path, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert {r["K"] for r in back.select("K").collect()} == set(range(5))
+
+
+def test_malformed_inputs(spark, tmp_path):
+    import zipfile
+
+    bad = str(tmp_path / "bad.zip")
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("x.shp", b"\x00" * 50)
+    with pytest.raises(ValueError, match="magic"):
+        read_shapefile_zip(spark, bad)
+
+    noshp = str(tmp_path / "noshp.zip")
+    with zipfile.ZipFile(noshp, "w") as z:
+        z.writestr("readme.txt", "hi")
+    with pytest.raises(ValueError, match="no .shp"):
+        read_shapefile_zip(spark, noshp)
