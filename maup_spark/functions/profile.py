@@ -62,3 +62,80 @@ def profile_table(
         "__r.column", "n_rows", "__r.n_nulls", "__r.n_distinct",
         "__r.min_str", "__r.max_str",
     )
+
+
+def profile_table_sketch(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable per-batch profile: like ``profile_table`` but the
+    distinct count is carried as an Apache DataSketches HLL sketch
+    (Spark-native ``hll_sketch_agg``, JVM-side) next to its point
+    estimate — the shape an ingest pipeline writes per batch so a QA
+    system can diff AND MERGE profiles across days without rescanning
+    (SURVEY §8.2: cross-batch distincts are not additive; sketches
+    union losslessly).
+
+    One pass over the table; values are sketched via their string cast
+    so every column type shares one merge-compatible representation.
+    Returns DataFrame[column, n_rows, n_nulls, n_distinct_est,
+    nd_sketch(binary), min_str, max_str]; feed any union of these
+    (e.g. read back from per-day parquet) to ``merge_profiles``.
+    ``lgk`` is the HLL log2(k) accuracy knob (12 -> ~2.5% rel. error,
+    4 KiB per sketch)."""
+    cols = list(columns or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(df[c].isNull().cast("long")).alias(f"__nn{i}"),
+            F.hll_sketch_agg(df[c].cast("string"), F.lit(lgk)).alias(f"__sk{i}"),
+            F.min(df[c]).cast("string").alias(f"__mn{i}"),
+            F.max(df[c]).cast("string").alias(f"__mx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    row = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn{i}").alias("n_nulls"),
+                F.col(f"__sk{i}").alias("nd_sketch"),
+                F.col(f"__mn{i}").alias("min_str"),
+                F.col(f"__mx{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ])
+    ).alias("__r")
+    return wide.select(row, F.col("__n").alias("n_rows")).select(
+        "__r.column",
+        "n_rows",
+        "__r.n_nulls",
+        F.hll_sketch_estimate("__r.nd_sketch").alias("n_distinct_est"),
+        "__r.nd_sketch",
+        "__r.min_str",
+        "__r.max_str",
+    )
+
+
+def merge_profiles(profiles: DataFrame) -> DataFrame:
+    """Merge a union of per-batch sketch profiles (rows from
+    ``profile_table_sketch``, e.g. K days read back from parquet) into
+    one corpus-level profile per column: row/null counts add, distinct
+    sketches union (``hll_union_agg`` — exact w.r.t. the sketch, no
+    rescan).  min_str/max_str are intentionally NOT merged: they are
+    string casts, and lexicographic min over e.g. '10'/'9' would be
+    numerically wrong — recompute from data if a merged min/max is
+    needed.  Returns DataFrame[column, n_rows, n_nulls, n_distinct_est,
+    nd_sketch] (still mergeable: feed outputs back in)."""
+    merged = profiles.groupBy("column").agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("n_nulls").cast("bigint").alias("n_nulls"),
+        F.hll_union_agg("nd_sketch").alias("nd_sketch"),
+    )
+    return merged.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.hll_sketch_estimate("nd_sketch").alias("n_distinct_est"),
+        "nd_sketch",
+    )
