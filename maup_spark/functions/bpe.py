@@ -1,0 +1,137 @@
+"""Real BPE: merge-table training and exact encoded token counts.
+
+``text.bpe_token_count`` is the pretokenizer UPPER BOUND (regex pieces,
+pure projection — the cheap corpus-wide stat).  This module closes
+SURVEY §8.3/§8.4's gap with the actual byte-pair-encoding loop:
+
+- ``bpe_train_merges``: classic BPE training (Sennrich et al. 2016) —
+  ONE Spark aggregation builds the word-frequency table (the only
+  corpus-scale pass; BPE training operates on word frequencies, not
+  raw text), then a deterministic driver loop learns ``n_merges``
+  merges.  ``max_vocab`` caps the driver-side table by frequency rank
+  (top-N hash-agg + window), so the collect is bounded at web scale —
+  standard practice: tails below the cap cannot influence early merges
+  materially, and determinism is preserved by (freq DESC, word) rank.
+- ``bpe_encode_count``: applies a merge table to every document in an
+  Arrow pandas UDF.  The merge ranks ship once per executor via a
+  SparkContext broadcast; encoding is per-WORD with an LRU-less dict
+  cache (Zipf: the same words repeat corpus-wide, so amortized cost per
+  token is near O(1) lookups).
+
+Both are deliberately NOT driver-oracle queries: training is iterative
+(not SQL-expressible) — covered by closed-form pytest instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for syms, freq in vocab.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + freq
+    return counts
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out, i, n = [], 0, len(syms)
+    ab = pair[0] + pair[1]
+    while i < n:
+        if i + 1 < n and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 256,
+    max_vocab: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from the corpus.  Returns the ordered
+    merge list [(left, right), ...] (rank = position).  Deterministic:
+    the winning pair each round is (count DESC, pair lexicographic)."""
+    from pyspark.sql import Window
+
+    wf = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # bounded driver collect: top max_vocab words by (freq DESC, word)
+    wf = (
+        wf.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("__r") <= max_vocab)
+        .select("w", "freq")
+    )
+    vocab = {tuple(r["w"]): int(r["freq"]) for r in wf.collect()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        # deterministic winner: max count, ties broken by MIN pair
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        if top < 2:
+            break  # nothing repeats; further merges are noise
+        merges.append(best_pair)
+        vocab = {_merge_word(s, best_pair): f for s, f in vocab.items()}
+    return merges
+
+
+def bpe_encode_count(
+    docs: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact BPE token count per document under a trained merge table.
+    DataFrame[doc_id, n_bpe_exact].  Arrow-batched; merge ranks ride a
+    broadcast (one copy per executor, never per task)."""
+    sc = docs.sparkSession.sparkContext
+    ranks_bc = sc.broadcast({tuple(p): i for i, p in enumerate(merges)})
+
+    @F.pandas_udf("long")
+    def count_udf(texts: pd.Series) -> pd.Series:
+        ranks = ranks_bc.value
+        cache: dict[str, int] = {}
+
+        def encode_len(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = tuple(word)
+            while len(syms) > 1:
+                best_rank, best_pair = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (syms[i], syms[i + 1])
+                if best_pair is None:
+                    break
+                syms = _merge_word(syms, best_pair)
+            cache[word] = len(syms)
+            return len(syms)
+
+        return texts.map(
+            lambda t: sum(encode_len(w) for w in t.split(" ") if w) if t else 0
+        )
+
+    return docs.select("doc_id", count_udf(F.col(text_col)).alias("n_bpe_exact"))

@@ -1,0 +1,53 @@
+"""Real BPE (merge-table train + exact encode) vs hand-computed merges
+on the classic Sennrich-style corpus."""
+
+from maup_spark.functions.bpe import (bpe_encode_count, bpe_train_merges,
+                                      _merge_word)
+
+
+def _docs(spark):
+    # word frequencies: low x5, lower x2, newest x6, widest x3
+    rows = [
+        (1, "low low low newest newest"),
+        (2, "low low lower newest newest newest"),
+        (3, "lower newest widest widest widest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_train_matches_hand_computation(spark):
+    merges = bpe_train_merges(_docs(spark), n_merges=4)
+    # pair counts round 1: ('e','s') 9, ('s','t') 9, ('n','e') 6, ...
+    # tie at 9 -> min pair ('e','s'); round 2: ('es','t') 9 wins; then
+    # ('n','e') 6; then ('ne','w') 6 ties ('est' pairs consumed) ...
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("l", "o")  # 7 = low(5)+lower(2) beats n-e 6
+    assert merges[3] == ("lo", "w")
+
+
+def test_encode_counts(spark):
+    docs = _docs(spark)
+    merges = bpe_train_merges(docs, n_merges=4)
+    out = {r["doc_id"]: r["n_bpe_exact"] for r in bpe_encode_count(docs, merges).collect()}
+    # after merges [es, est, lo, low]:
+    #   low -> [low] = 1; lower -> [low,e,r] = 3
+    #   newest -> [n,e,w,est] = 4; widest -> [w,i,d,est] = 4
+    assert out[1] == 3 * 1 + 2 * 4       # 11
+    assert out[2] == 2 * 1 + 3 + 3 * 4   # 17
+    assert out[3] == 3 + 4 + 3 * 4       # 19
+
+
+def test_zero_merges_is_char_count(spark):
+    docs = _docs(spark)
+    out = {r["doc_id"]: r["n_bpe_exact"] for r in bpe_encode_count(docs, []).collect()}
+    assert out[1] == len("lowlowlownewestnewest")
+
+
+def test_train_deterministic(spark):
+    docs = _docs(spark)
+    assert bpe_train_merges(docs, n_merges=6) == bpe_train_merges(docs, n_merges=6)
+
+
+def test_merge_word_non_overlapping():
+    assert _merge_word(tuple("aaa"), ("a", "a")) == ("aa", "a")
