@@ -195,7 +195,12 @@ def minhash_lsh_pairs(
     # carry the full m-vector + hot flags so the canonical-band veto
     # evaluates post-join with plain column compares (codegen, O(bands)
     # per pair).  Rows whose OWN band is hot are dropped pre-join —
-    # equivalent to the multi_join per-band exclusion.
+    # equivalent to the multi_join per-band exclusion.  The flagged
+    # projection is persisted too: both join sides derive from it, and
+    # without this the 4 hot-flag broadcast joins over the signature
+    # table run once per side (visible in PLANS.md as duplicated
+    # BroadcastHashJoin subtrees).
+    wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
     exploded = (
         wide.select(
             "doc_id",

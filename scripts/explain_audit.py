@@ -100,6 +100,19 @@ CHECKS = {
     # bloom-filter subqueries are scalar aggregates and legitimately
     # single-partition.
     "close_gaps_pacman": ([], ["main:SinglePartition"]),
+    # exact-substring dedup: gram explode (Generate) -> ONE window-count
+    # exchange on gram keys -> per-doc sweep + hash-agg; all JVM
+    "substring_dedup": (
+        ["Generate", "Window", "HashAggregate"],
+        ["Python", "CartesianProduct", "SortAggregate"],
+    ),
+    # the production (capped) LSH config rides the single-join strategy:
+    # exploded (band, key) self-join; no per-band join fan-out, no
+    # distinct exchange, no Python
+    "minhash_lsh_capped": (
+        ["Generate"],
+        ["Python", "CartesianProduct", "SortAggregate"],
+    ),
 }
 
 
@@ -123,7 +136,16 @@ def main() -> None:
 
         return minhash_signatures(_corpus(spark, sf_dir))
 
-    builders = {"minhash_signatures": build_minhash_signatures}
+    def build_minhash_lsh_capped(spark, sf_dir):
+        from maup_spark.functions.dedup import minhash_lsh_pairs
+        from maup_spark.queries import _corpus
+
+        return minhash_lsh_pairs(_corpus(spark, sf_dir), max_bucket=1000)
+
+    builders = {
+        "minhash_signatures": build_minhash_signatures,
+        "minhash_lsh_capped": build_minhash_lsh_capped,
+    }
 
     failures = []
     for name, (must, must_not) in CHECKS.items():
