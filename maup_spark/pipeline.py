@@ -2,7 +2,8 @@
 table — the north-star workload as ONE checkpoint-resumable run:
 
     pages ─ extract_text ─ quality gate ─ exact dedup ─ near-dup prune
-          ─ entity points ─ district assign ─ per-district rollup
+          ─ exact-substring prune ─ entity points ─ district assign
+          ─ per-district rollup ─ sketch profile (QA artifact)
 
 Every arrow is a StageRunner stage (parquet checkpoint + `_SUCCESS` +
 per-partition metrics): a preempted run resumes from the last completed
@@ -23,6 +24,7 @@ from .io.lineage import StageRunner
 def training_data_pipeline(
     spark: SparkSession, sf_dir: str, run_dir: str,
     min_quality_e6: int = 500_000,
+    max_dup_frac: float = 0.9,
 ) -> dict[str, DataFrame]:
     """Returns {stage: DataFrame} for the checkpointed stages; the final
     ``district_rollup`` is per-district clean-document character mass.
@@ -32,8 +34,9 @@ def training_data_pipeline(
     signal — e.g. the synthetic hex bench corpus — score 0.4 and need
     a lower bar to flow through the remaining stages)."""
     from . import datagen as D
-    from .functions.dedup import exact_dedup, minhash_lsh_pairs
+    from .functions.dedup import exact_dedup, minhash_lsh_pairs, substring_dedup
     from .functions.multimodal import extract_text, pages
+    from .functions.profile import profile_table_sketch
     from .functions.text import quality_score
     from .operators.assign import assign_points
 
@@ -90,10 +93,25 @@ def training_data_pipeline(
         "near_dedup", build_near, inputs=["exact_dedup"]
     )
 
+    # 4b. exact-substring prune (the ExactSubstr pass): drop docs whose
+    #     corpus-duplicated 8-gram spans cover more than max_dup_frac of
+    #     their tokens — catches partial copies that survive whole-doc
+    #     exact dedup and shingle-level near-dup pruning
+    def build_substr():
+        stats = substring_dedup(surviving, min_len=8)
+        keep = stats.filter(
+            F.col("dup_token_cov") <= F.lit(max_dup_frac) * F.col("n_tokens")
+        ).select("doc_id")
+        return surviving.join(keep, "doc_id")
+
+    final = out["final"] = runner.run_stage(
+        "substr_dedup", build_substr, inputs=["near_dedup"]
+    )
+
     # 5. entity points of surviving docs → district assignment
     def build_assigned():
         pts = D.points(spark, sf_dir).join(
-            surviving.select("doc_id"), "doc_id"
+            final.select("doc_id"), "doc_id"
         )
         return assign_points(
             pts,
@@ -104,7 +122,7 @@ def training_data_pipeline(
         ).join(pts.select("entity_id", "doc_id", "n_chars"), "entity_id")
 
     assigned = out["assigned"] = runner.run_stage(
-        "assign", build_assigned, inputs=["near_dedup"]
+        "assign", build_assigned, inputs=["substr_dedup"]
     )
 
     # 6. per-district rollup of clean-document character mass
@@ -116,6 +134,15 @@ def training_data_pipeline(
             F.countDistinct("doc_id").alias("n_docs"),
         ),
         inputs=["assign"],
+    )
+
+    # 7. QA artifact: the mergeable sketch profile of the shipped corpus
+    #    — per-batch profiles union across ingest days via
+    #    merge_profiles without rescanning (SURVEY §8.2)
+    out["profile"] = runner.run_stage(
+        "profile",
+        lambda: profile_table_sketch(final),
+        inputs=["substr_dedup"],
     )
     out["runner"] = runner
     return out

@@ -16,8 +16,9 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
     n_clean = out["clean"].count()
     n_dedup = out["deduped"].count()
     n_surv = out["surviving"].count()
+    n_final = out["final"].count()
     assert 0 < n_clean <= n_docs
-    assert 0 < n_surv <= n_dedup <= n_clean
+    assert 0 < n_final <= n_surv <= n_dedup <= n_clean
 
     rollup = out["district_rollup"]
     rows = rollup.collect()
@@ -25,18 +26,24 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
     # conservation: entity count equals 64 x surviving docs minus the
     # knocked-out-district NULL assignments
     total_entities = rollup.agg(F.sum("n_entities")).collect()[0][0]
-    assert total_entities == n_surv * 64
+    assert total_entities == n_final * 64
 
     # character mass conserved: sum over districts of n_chars equals
     # 64 x the per-doc totals of surviving docs
     doc_chars = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .join(out["surviving"].select("doc_id"), "doc_id")
+        .join(out["final"].select("doc_id"), "doc_id")
         .agg(F.sum("n_chars"))
         .collect()[0][0]
     )
     mass = rollup.agg(F.sum("n_chars_sum")).collect()[0][0]
     assert mass == doc_chars * 64
+
+    # QA artifact: the sketch profile covers the final corpus exactly
+    prof = {r["column"]: r for r in out["profile"].collect()}
+    assert prof["doc_id"]["n_rows"] == n_final
+    assert prof["doc_id"]["n_nulls"] == 0
+    assert abs(prof["doc_id"]["n_distinct_est"] - n_final) / n_final < 0.05
 
     # RESUME: a second invocation must skip every stage (checkpoint hits)
     out2 = training_data_pipeline(spark, sf_dir, run_dir)
@@ -45,7 +52,7 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
         json.loads(line)
         for line in open(f"{run_dir}/_manifest.jsonl")
     ]
-    second_run = manifest[-6:]  # six stages logged by the re-run
+    second_run = manifest[-8:]  # eight stages logged by the re-run
     assert all("skipped" in m["status"] for m in second_run)
 
     # per-partition metrics exist for every stage
@@ -53,6 +60,6 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
         r["stage"] for r in out["runner"].metrics().select("stage").collect()
     }
     assert stages == {
-        "docs", "clean", "exact_dedup", "near_dedup", "assign",
-        "district_rollup",
+        "docs", "clean", "exact_dedup", "near_dedup", "substr_dedup",
+        "assign", "district_rollup", "profile",
     }
