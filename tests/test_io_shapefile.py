@@ -117,3 +117,45 @@ def test_malformed_inputs(spark, tmp_path):
         z.writestr("readme.txt", "hi")
     with pytest.raises(ValueError, match="no .shp"):
         read_shapefile_zip(spark, noshp)
+
+
+def test_roundtrip_fuzz_coordinates(spark, tmp_path):
+    """Coordinates are IEEE doubles in both SHP and WKB: round-trip must
+    be bit-exact for arbitrary finite values (hypothesis-generated once,
+    pinned here for determinism)."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        x0=st.floats(-1e15, 1e15, allow_nan=False, allow_infinity=False),
+        y0=st.floats(-1e15, 1e15, allow_nan=False, allow_infinity=False),
+        s=st.floats(1e-6, 1e9, allow_nan=False, allow_infinity=False),
+    )
+    def collect(x0, y0, s):
+        cases.append((x0, y0, s))
+
+    collect()
+    path = str(tmp_path / "fuzz.zip")
+    write_shapefile_zip(
+        path,
+        [
+            (Geometry("Polygon", [_sq(x0, y0, s)]), {"I": i})
+            for i, (x0, y0, s) in enumerate(cases)
+        ],
+    )
+    back = {
+        r["I"]: Geometry.from_wkb(bytes(r["geometry"]))
+        for r in read_shapefile_zip(spark, path).collect()
+    }
+    for i, (x0, y0, s) in enumerate(cases):
+        ring = next(iter(back[i].polygons()))[0]
+        expect = _sq(x0, y0, s)
+        # SHP stores raw doubles; the reader may reverse ring order (CW
+        # normalization round-trips rectilinear rings to the same set)
+        got = {(float(x), float(y)) for x, y in ring}
+        want = {(float(x), float(y)) for x, y in expect}
+        assert got == want, (i, x0, y0, s)

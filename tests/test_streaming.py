@@ -197,3 +197,17 @@ def test_streaming_novelty_matches_batch(spark, tmp_path):
     assert not any(i in got for i in range(10, 60) if i % 2 == 0 and i not in (13, 33))
     assert {13, 33}.issubset(got)  # short docs: no bands, always novel
     assert all(i in got for i in range(60) if i % 2 == 1 and i not in (13, 33))
+
+
+def test_novelty_batch_strategies_identical(spark, sf_dir):
+    """agg-based first-arrival (hash aggs, skew-immune) must equal the
+    window formulation exactly — including ts tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.queries import _corpus
+    from maup_spark.streaming.novelty import novelty_batch
+
+    docs = _corpus(spark, sf_dir).withColumn("ts", F.col("doc_id") % 97)
+    a = {r["doc_id"] for r in novelty_batch(docs, strategy="agg").collect()}
+    w = {r["doc_id"] for r in novelty_batch(docs, strategy="window").collect()}
+    assert a == w and a
