@@ -1850,3 +1850,43 @@ SELECT c.doc_id,
        COALESCE(p.dup_token_cov, 0) AS dup_token_cov
 FROM corpus c LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# fixed demo merge table for the driver-gated exact-BPE encode: each
+# merge's inputs exist only as base hex chars or earlier merge outputs,
+# so applying merges exhaustively in rank order (the oracle's nested
+# REPLACE chain over char-spaced words) equals the encoder's
+# lowest-rank-first loop
+_BPE_FIXED_MERGES = [("a", "b"), ("c", "d"), ("e", "f"), ("0", "1"), ("ab", "cd")]
+
+
+def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token counts under the fixed merge table (the trained-
+    table path is the same encoder; training itself is iterative and
+    pytest-gated, tests/test_bpe.py)."""
+    from .functions.bpe import bpe_encode_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bpe_encode_count(docs, _BPE_FIXED_MERGES)
+
+
+QUERIES["bpe_encode_fixed"] = q_bpe_encode_fixed
+
+_BPE_REPLACE_CHAIN = "array_to_string(string_split_regex(word, ''), ' ')"
+for _a, _b in _BPE_FIXED_MERGES:
+    _BPE_REPLACE_CHAIN = f"REPLACE({_BPE_REPLACE_CHAIN}, '{_a} {_b}', '{_a}{_b}')"
+
+ORACLES["bpe_encode_fixed"] = f"""
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         len(string_split({_BPE_REPLACE_CHAIN}, ' ')) AS n
+  FROM w WHERE word != ''
+)
+SELECT d.doc_id, CAST(COALESCE(e.n_sum, 0) AS BIGINT) AS n_bpe_exact
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(n) AS n_sum FROM enc GROUP BY doc_id) e
+  USING (doc_id)
+"""
