@@ -262,13 +262,71 @@ def batch_intersection_area(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
+def _convex_ring(g):
+    """Single-ring polygon with a convex boundary (collinear vertices
+    allowed) -> its closed ring array, else None."""
+    if g.gtype != "Polygon" or len(g.data) != 1:
+        return None
+    ring = g.data[0]
+    if len(ring) < 4:
+        return None
+    v = np.diff(ring, axis=0)
+    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    wrap = v[-1, 0] * v[0, 1] - v[-1, 1] * v[0, 0]
+    crosses = np.append(cross, wrap)
+    if (crosses > 0).any() and (crosses < 0).any():
+        return None
+    return ring
+
+
+def _sh_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip a (closed-ring) subject polygon against a
+    CONVEX closed clip ring.  Returns the OPEN vertex array of the
+    clipped polygon (possibly < 3 vertices = empty/degenerate)."""
+    from .base import signed_area
+
+    if signed_area(clip) < 0:
+        clip = clip[::-1]
+    out = subject[:-1]
+    for e in range(len(clip) - 1):
+        if len(out) == 0:
+            break
+        cx0, cy0 = clip[e]
+        ex, ey = clip[e + 1, 0] - cx0, clip[e + 1, 1] - cy0
+        side = ex * (out[:, 1] - cy0) - ey * (out[:, 0] - cx0)
+        res = []
+        m = len(out)
+        for i in range(m):
+            j = (i + 1) % m
+            if side[i] >= 0:
+                res.append(out[i])
+            if (side[i] >= 0) != (side[j] >= 0):
+                t = side[i] / (side[i] - side[j])
+                res.append(out[i] + t * (out[j] - out[i]))
+        out = np.asarray(res) if res else np.empty((0, 2))
+    return out
+
+
+def batch_intersection(
+    a_wkbs: pd.Series, b_wkbs: pd.Series, convex_fast: bool = True
+) -> pd.DataFrame:
     """Exact pairwise intersection -> (wkb, area, length, is_empty).
 
     Axis-aligned rectangle pairs (the overwhelming case for grid-tiled
     layers) short-circuit to closed-form min/max arithmetic — the same
     IEEE ops an ANSI-SQL oracle (least/greatest) performs, so results
     are bit-identical to SQL, and no arrangement is built.
+
+    ``convex_fast`` adds a second tier: pairs of single-ring CONVEX
+    polygons with interior overlap clip via Sutherland–Hodgman (~30 µs
+    per pair, pure numpy) instead of the general planar arrangement
+    (~1.6 ms per pair) — the polygon×lattice overlay shape.  Pairs that
+    only TOUCH (clip area 0) fall through to the arrangement so the
+    mixed-dimension semantics (shared edges → lines) are preserved
+    exactly; so does every non-convex or multi-part pair.  Set
+    ``convex_fast=False`` (batch_intersection_arrangement) to pin the
+    general kernel — the intersections_triangles_shuffle driver query
+    does, keeping the arrangement oracle-gated.
     """
     n = len(a_wkbs)
     ra = batch_rect_bounds_arr(a_wkbs)
@@ -301,6 +359,10 @@ def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
 
     ca: dict = {}
     cb: dict = {}
+    conv_a: dict = {}
+    conv_b: dict = {}
+    from .base import signed_area as _sa
+
     for i in np.nonzero(slow)[0]:
         a = a_wkbs.iloc[i]
         b = b_wkbs.iloc[i]
@@ -312,6 +374,34 @@ def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
         gb = cb.get(b)
         if gb is None:
             gb = cb[b] = Geometry.from_wkb(b)
+        if convex_fast:
+            if a not in conv_a:
+                conv_a[a] = _convex_ring(ga)
+            if b not in conv_b:
+                conv_b[b] = _convex_ring(gb)
+            rga, rgb = conv_a[a], conv_b[b]
+            if rga is not None and rgb is not None:
+                clipped = _sh_clip(rga, rgb)
+                if len(clipped) >= 3:
+                    closed = np.vstack([clipped, clipped[:1]])
+                    ar = abs(_sa(closed))
+                    if ar > 0.0:
+                        g = Geometry("Polygon", [closed])
+                        wkb_out[i] = g.wkb
+                        area[i] = ar
+                        length[i] = g.length
+                        empty[i] = False
+                        continue
+                else:
+                    # clip produced nothing: genuinely disjoint interiors,
+                    # but a boundary touch still yields a line/point in
+                    # reference semantics — only skip the arrangement when
+                    # the bboxes are strictly disjoint
+                    ax0, ay0, ax1, ay1 = rga[:, 0].min(), rga[:, 1].min(), rga[:, 0].max(), rga[:, 1].max()
+                    bx0, by0, bx1, by1 = rgb[:, 0].min(), rgb[:, 1].min(), rgb[:, 0].max(), rgb[:, 1].max()
+                    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+                        continue
+                # zero-area clip or possible touch: exact kernel decides
         g = intersection(ga, gb)
         if not g.is_empty:
             wkb_out[i] = g.wkb
@@ -321,3 +411,11 @@ def batch_intersection(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {"wkb": wkb_out, "area": area, "length": length, "is_empty": empty}
     )
+
+
+def batch_intersection_arrangement(
+    a_wkbs: pd.Series, b_wkbs: pd.Series
+) -> pd.DataFrame:
+    """batch_intersection pinned to the general planar-arrangement
+    kernel for every non-rect pair (no convex clipping)."""
+    return batch_intersection(a_wkbs, b_wkbs, convex_fast=False)

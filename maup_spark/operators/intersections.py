@@ -62,9 +62,16 @@ def _intersection_batch(a, b):
     return V.batch_intersection(a, b)
 
 
+def _intersection_batch_arrangement(a, b):
+    return V.batch_intersection_arrangement(a, b)
+
+
 # asNondeterministic stops CollapseProject from cloning the Python call
 # once per struct-field reference (verified via .explain)
 _intersection_udf = F.pandas_udf(_intersection_batch, _IX_SCHEMA).asNondeterministic()
+_intersection_udf_arrangement = F.pandas_udf(
+    _intersection_batch_arrangement, _IX_SCHEMA
+).asNondeterministic()
 
 
 def intersections(
@@ -80,12 +87,17 @@ def intersections(
     rect_layers: bool = False,
     keep_geometry: bool = True,
     carry_source_cols: tuple = (),
+    exact_kernel: str = "auto",
 ) -> DataFrame:
     """All nonempty pairwise intersections.
 
     ``carry_source_cols`` rides extra source columns through to the
     output (e.g. the data column being prorated) — avoids a second
-    full-size join downstream.
+    full-size join downstream.  ``exact_kernel="auto"`` (default) lets
+    convex single-ring pairs with interior overlap clip via the
+    Sutherland–Hodgman fast path (~50× the arrangement's throughput on
+    polygon×lattice overlays); ``"arrangement"`` pins every non-rect
+    pair to the general planar-arrangement kernel.
 
     Returns ``DataFrame[source_id, target_id, geometry, area, length]``.
     Mixed-dimension results (shared edges → lines, corner touches →
@@ -141,7 +153,7 @@ def intersections(
             target_bounds=target_bounds,
             drop_target_geom=True,
         )
-        ix_udf = make_intersection_by_id_udf(bc, _IX_SCHEMA)
+        ix_udf = make_intersection_by_id_udf(bc, _IX_SCHEMA, exact_kernel)
         ix_col = ix_udf(F.col("__tid"), F.col("__sgeom"))
     else:
         # target layer too big for one driver dict: NO collect anywhere —
@@ -158,7 +170,11 @@ def intersections(
             source_bounds=source_bounds,
             target_bounds=target_bounds,
         )
-        ix_col = _intersection_udf(F.col("__sgeom"), F.col("__tgeom"))
+        ix_col = (
+            _intersection_udf_arrangement
+            if exact_kernel == "arrangement"
+            else _intersection_udf
+        )(F.col("__sgeom"), F.col("__tgeom"))
     out = (
         cand.withColumn("__ix", ix_col)
         .filter(~F.col("__ix.is_empty"))

@@ -310,15 +310,18 @@ def covers_area_udf(t_wkbs, s_wkbs):
     )
 
 
-def make_intersection_by_id_udf(bc, schema):
+def make_intersection_by_id_udf(bc, schema, exact_kernel: str = "auto"):
     """(target_id, source_wkb) -> intersection struct, target geometry
-    from broadcast (source WKB still ships once per pair)."""
+    from broadcast (source WKB still ships once per pair).
+    ``exact_kernel="arrangement"`` disables the convex-pair fast clip
+    (see geom.vector.batch_intersection)."""
+    convex_fast = exact_kernel != "arrangement"
 
     def batch(tids, swkbs):
         import pandas as pd
 
         twkbs = pd.Series([bc.value[t] for t in tids])
-        return V.batch_intersection(swkbs, twkbs)
+        return V.batch_intersection(swkbs, twkbs, convex_fast=convex_fast)
 
     return F.pandas_udf(batch, schema).asNondeterministic()
 

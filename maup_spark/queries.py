@@ -592,12 +592,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_intersections_triangles(
-    spark: SparkSession, sf_dir: str, broadcast_targets: bool = True
+    spark: SparkSession, sf_dir: str, broadcast_targets: bool = True,
+    exact_kernel: str = "auto",
 ) -> DataFrame:
-    """Arrangement-kernel oracle: right triangles × a 2° cell lattice
-    through the GENERAL polygon overlay (``rect_layers=False`` — every
-    pair runs the planar-arrangement boolean kernel, not the LEAST/
-    GREATEST rect fast path).
+    """Triangle×lattice overlay oracle.  The broadcast variant runs the
+    DEFAULT kernel tiering (round 4: convex interior-overlap pairs take
+    the Sutherland–Hodgman fast clip; touches and non-convex fall to
+    the arrangement); the ``_shuffle`` variant pins
+    ``exact_kernel="arrangement"`` so the general planar-arrangement
+    boolean kernel itself stays oracle-gated.
 
     Determinism design: triangle anchors snap to a quarter-degree
     lattice (``FLOOR(lon*4)/4`` — dyadic, bit-identical in Spark and
@@ -659,6 +662,7 @@ def q_intersections_triangles(
         rect_layers=False,
         keep_geometry=True,
         broadcast_targets=broadcast_targets,
+        exact_kernel=exact_kernel,
     )
     return ix.select(
         "entity_id",
@@ -670,10 +674,14 @@ def q_intersections_triangles(
 def q_intersections_triangles_shuffle(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Same arrangement overlay, forced down the non-broadcast path:
-    salted shuffle join on cell id, geometry WKB carried through the
-    join (the plan a 100 TB polygon×polygon overlay would run)."""
-    return q_intersections_triangles(spark, sf_dir, broadcast_targets=False)
+    """Same overlay, forced down the non-broadcast path (salted shuffle
+    join on cell id, WKB carried through the join — the 100 TB
+    polygon×polygon plan) AND pinned to the general arrangement kernel
+    so it stays oracle-gated (the broadcast twin exercises the convex
+    fast clip)."""
+    return q_intersections_triangles(
+        spark, sf_dir, broadcast_targets=False, exact_kernel="arrangement"
+    )
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

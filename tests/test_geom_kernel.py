@@ -177,3 +177,49 @@ def test_media_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError, match="stubbed"):
         decode_media(b"\x00\x01", "image")
+
+
+def test_convex_fast_clip_matches_arrangement():
+    """Sutherland–Hodgman fast path vs the general arrangement on
+    convex pairs: identical areas (1e-9), identical emptiness; touch
+    cases (zero-area) must produce the arrangement's line/point
+    geometry, not a degenerate polygon."""
+    import numpy as np
+    import pandas as pd
+
+    from maup_spark.geom import vector as V
+    from maup_spark.geom.base import Geometry
+
+    rng = np.random.RandomState(7)
+    pairs = []
+    for k in range(60):
+        # random convex polygon: hull of random points, as a triangle fan
+        pts = rng.rand(8, 2) * 4
+        c = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+        hull = pts[np.argsort(ang)]
+        poly = Geometry.polygon(np.vstack([hull, hull[:1]]))
+        # clip rect overlapping, disjoint, or touching depending on k
+        if k % 3 == 0:
+            r = (1.0, 1.0, 3.0, 3.0)
+        elif k % 3 == 1:
+            r = (10.0, 10.0, 12.0, 12.0)
+        else:
+            x1 = float(hull[:, 0].max())
+            r = (x1, 0.0, x1 + 2, 4.0)  # shares at most a boundary
+        rect = Geometry.polygon(
+            np.array([[r[0], r[1]], [r[2], r[1]], [r[2], r[3]],
+                      [r[0], r[3]], [r[0], r[1]]])
+        )
+        pairs.append((poly.wkb, rect.wkb))
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    fast = V.batch_intersection(a, b)
+    slow = V.batch_intersection_arrangement(a, b)
+    assert list(fast["is_empty"]) == list(slow["is_empty"])
+    assert np.allclose(fast["area"], slow["area"], atol=1e-9)
+    assert np.allclose(fast["length"], slow["length"], atol=1e-9)
+    # touch rows carry the arrangement's exact geometry either way
+    for i in range(len(pairs)):
+        if not fast["is_empty"][i] and fast["area"][i] == 0.0:
+            assert fast["wkb"][i] == slow["wkb"][i]
