@@ -59,8 +59,12 @@ def profile_table(
         ])
     ).alias("__r")
     return wide.select(row, F.col("__n").alias("n_rows")).select(
-        "__r.column", "n_rows", "__r.n_nulls", "__r.n_distinct",
-        "__r.min_str", "__r.max_str",
+        "__r.column",
+        "n_rows",
+        F.coalesce(F.col("__r.n_nulls"), F.lit(0)).alias("n_nulls"),
+        F.coalesce(F.col("__r.n_distinct"), F.lit(0)).alias("n_distinct"),
+        "__r.min_str",
+        "__r.max_str",
     )
 
 
@@ -109,8 +113,10 @@ def profile_table_sketch(
     return wide.select(row, F.col("__n").alias("n_rows")).select(
         "__r.column",
         "n_rows",
-        "__r.n_nulls",
-        F.hll_sketch_estimate("__r.nd_sketch").alias("n_distinct_est"),
+        # zero rows -> NULL sum / NULL sketch -> well-defined zeros
+        F.coalesce(F.col("__r.n_nulls"), F.lit(0)).alias("n_nulls"),
+        F.coalesce(F.hll_sketch_estimate("__r.nd_sketch"), F.lit(0))
+        .alias("n_distinct_est"),
         "__r.nd_sketch",
         "__r.min_str",
         "__r.max_str",
@@ -136,6 +142,7 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
         "column",
         "n_rows",
         "n_nulls",
-        F.hll_sketch_estimate("nd_sketch").alias("n_distinct_est"),
+        F.coalesce(F.hll_sketch_estimate("nd_sketch"), F.lit(0))
+        .alias("n_distinct_est"),
         "nd_sketch",
     )

@@ -81,3 +81,44 @@ def test_aggregate_empty_sources(spark):
         target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
     )
     assert out.count() == 0
+
+
+def test_round4_family_empty(spark):
+    from maup_spark.functions.bpe import bpe_encode_count, bpe_train_merges
+    from maup_spark.functions.dedup import substring_dedup
+    from maup_spark.functions.profile import (merge_profiles,
+                                              profile_table_sketch)
+
+    e = _empty_docs(spark)
+    assert substring_dedup(e).count() == 0
+    assert substring_dedup(e, scope="cross_doc").count() == 0
+    # empty corpus trains an empty merge table; encode yields no rows
+    assert bpe_train_merges(e) == []
+    assert bpe_encode_count(e, [("a", "b")]).count() == 0
+    # sketch profile of an empty table is one all-zeros row per column
+    prof = {r["column"]: r for r in profile_table_sketch(e).collect()}
+    assert prof["doc_id"]["n_rows"] == 0
+    assert prof["doc_id"]["n_nulls"] == 0
+    assert prof["doc_id"]["n_distinct_est"] == 0
+    assert merge_profiles(profile_table_sketch(e)).count() == 2
+
+
+def test_round4_trivial_docs(spark):
+    """Docs shorter than the gram width produce zero dup stats, and a
+    one-word corpus trains zero merges (nothing repeats pairwise)."""
+    from maup_spark.functions.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, min_len=8).collect()}
+    assert (out[1]["dup_grams"], out[1]["dup_token_cov"]) == (0, 0)
+    assert out[2]["dup_grams"] == 0
+
+
+def test_shapefile_empty_layer(spark, tmp_path):
+    from maup_spark.io.shapefile import read_shapefile_zip, write_shapefile_zip
+
+    path = str(tmp_path / "empty.zip")
+    write_shapefile_zip(path, [])
+    assert read_shapefile_zip(spark, path).count() == 0
