@@ -378,3 +378,25 @@ def write_shapefile_zip(
         if prj_wkt:
             z.writestr(f"{base}.prj", prj_wkt)
     os.replace(tmp, path)
+
+
+def dataframe_to_shapefile_zip(
+    df,
+    path: str,
+    geom_col: str = "geometry",
+    prj_wkt: str | None = None,
+) -> None:
+    """Export a (bounded) geometry DataFrame as a zipped shapefile —
+    the reverse bootstrap, for handing results back to reference-stack
+    tooling.  Collects to the driver by design: shapefiles are a
+    driver-side interchange format here (see module docstring); big
+    layers belong in parquet."""
+    cols = [c for c in df.columns if c != geom_col]
+    records = [
+        (
+            bytes(r[geom_col]) if r[geom_col] is not None else None,
+            {c: r[c] for c in cols},
+        )
+        for r in df.select(geom_col, *cols).collect()
+    ]
+    write_shapefile_zip(path, records, prj_wkt=prj_wkt)

@@ -159,3 +159,19 @@ def test_roundtrip_fuzz_coordinates(spark, tmp_path):
         got = {(float(x), float(y)) for x, y in ring}
         want = {(float(x), float(y)) for x, y in expect}
         assert got == want, (i, x0, y0, s)
+
+
+def test_dataframe_export_roundtrip(spark, tmp_path):
+    from maup_spark.io.shapefile import dataframe_to_shapefile_zip
+
+    df = spark.createDataFrame(
+        [(i, Geometry("Polygon", [_sq(i, 0, 1)]).wkb, f"n{i}") for i in range(4)],
+        "gid bigint, geometry binary, name string",
+    )
+    path = str(tmp_path / "export.zip")
+    dataframe_to_shapefile_zip(df, path)
+    back = read_shapefile_zip(spark, path)
+    rows = sorted(back.collect(), key=lambda r: r["gid"])
+    assert [r["gid"] for r in rows] == [0, 1, 2, 3]
+    assert [r["name"] for r in rows] == ["n0", "n1", "n2", "n3"]
+    assert Geometry.from_wkb(bytes(rows[2]["geometry"])).area == 1.0
