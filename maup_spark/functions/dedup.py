@@ -359,9 +359,13 @@ def simhash_pairs(
     across the 4 bands.
     """
     if strategy == "auto":
-        # measured tie at 10^6 docs (5.0 s both, 64-bit config); prefer
-        # the single exchange / fewer stages
-        strategy = "single_join"
+        # same bounded-bucket rule as minhash_lsh_pairs: the single
+        # exploded join wins when buckets are fine-grained (64-bit/16-bit
+        # production config: 65k buckets/band, measured tie-to-better at
+        # 10^6), but a coarse config (16-bit/4-bit oracle twin: 16
+        # buckets/band) concentrates the n/16-sized buckets' quadratic
+        # work into one exchange — keep the per-band joins there
+        strategy = "single_join" if band_bits >= 8 else "multi_join"
     if n_bits % band_bits != 0:
         raise ValueError(f"band_bits {band_bits} must divide n_bits {n_bits}")
     n_bands = n_bits // band_bits
