@@ -146,3 +146,56 @@ def merge_profiles(profiles: DataFrame) -> DataFrame:
         .alias("n_distinct_est"),
         "nd_sketch",
     )
+
+
+def corpus_doctor(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_frac: float = 0.05,
+    min_mean_tokens: float = 5.0,
+) -> DataFrame:
+    """The document-table twin of the geometry layer's ``doctor``: one
+    boolean health check over a corpus batch, with the evidence columns
+    a QA gate alerts on.  ONE hash aggregation, all JVM:
+
+    - ``n_docs`` / ``n_empty`` (NULL or empty text),
+    - ``n_dup_docs`` = rows beyond the first per content fingerprint
+      (exact-duplicate mass; > ``max_dup_frac`` of the corpus fails),
+    - ``mean_tokens_e3`` (mean whitespace tokens ×1e3 as BIGINT — the
+      scaled-integer idiom keeps it engine-portable),
+    - ``healthy`` = no empties AND dup mass under the bar AND mean
+      length over ``min_mean_tokens``.
+
+    Returns a single row; run per ingest batch next to
+    ``profile_table_sketch`` and fail the pipeline stage on
+    ``healthy = false``."""
+    toks = F.size(F.split(F.col(text_col), " "))
+    empty = F.col(text_col).isNull() | (F.col(text_col) == "")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(empty.cast("long")).alias("n_empty"),
+        # NULL text gets its own fingerprint: countDistinct drops NULLs,
+        # which would count every null-text row beyond the first as a dup
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.coalesce(F.md5(F.col(text_col)), F.lit("__null__"))
+            )
+        ).alias("n_dup_docs"),
+        F.round(F.avg(toks.cast("double")) * 1e3).cast("bigint")
+        .alias("mean_tokens_e3"),
+    )
+    return agg.select(
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_empty", F.lit(0)).alias("n_empty"),
+        F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+        F.coalesce("mean_tokens_e3", F.lit(0)).alias("mean_tokens_e3"),
+        (
+            (F.coalesce("n_empty", F.lit(0)) == 0)
+            & (
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                <= F.lit(max_dup_frac) * F.coalesce("n_docs", F.lit(0)).cast("double")
+            )
+            & (F.coalesce("mean_tokens_e3", F.lit(0)) >= F.lit(min_mean_tokens * 1e3))
+        ).alias("healthy"),
+    )

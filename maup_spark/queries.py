@@ -1898,3 +1898,35 @@ FROM documents d
 LEFT JOIN (SELECT doc_id, SUM(n) AS n_sum FROM enc GROUP BY doc_id) e
   USING (doc_id)
 """
+
+
+def q_corpus_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health check over the dup-rich corpus (the
+    document twin of doctor_dirty_nations): the synthetic exact-dup
+    rate (~1/7 of base docs) exceeds the 5% bar, so healthy=false with
+    the evidence columns showing why."""
+    from .functions.profile import corpus_doctor
+
+    return corpus_doctor(_corpus(spark, sf_dir))
+
+
+QUERIES["corpus_doctor"] = q_corpus_doctor
+
+ORACLES["corpus_doctor"] = f"""
+WITH {_CORPUS_CTE},
+a AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_empty,
+         COUNT(*) - COUNT(DISTINCT COALESCE(md5(text), '__null__'))
+           AS n_dup_docs,
+         CAST(ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1e3)
+              AS BIGINT) AS mean_tokens_e3
+  FROM corpus
+)
+SELECT n_docs, n_empty, CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+       mean_tokens_e3,
+       (n_empty = 0 AND CAST(n_dup_docs AS DOUBLE) <= 0.05e0 * n_docs
+        AND mean_tokens_e3 >= 5000) AS healthy
+FROM a
+"""

@@ -57,3 +57,28 @@ def test_merge_is_order_insensitive(spark):
     (rb,) = merge_profiles(b).collect()
     assert ra["n_distinct_est"] == rb["n_distinct_est"]
     assert ra["n_rows"] == rb["n_rows"] == 4500
+
+
+def test_corpus_doctor_verdicts(spark):
+    from maup_spark.functions.profile import corpus_doctor
+
+    healthy = spark.createDataFrame(
+        [(i, f"one two three four five six {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    (r,) = corpus_doctor(healthy).collect()
+    assert r["healthy"] and r["n_dup_docs"] == 0 and r["n_empty"] == 0
+    assert r["mean_tokens_e3"] == 7000
+
+    sick = spark.createDataFrame(
+        [(1, "dup dup dup dup dup dup"), (2, "dup dup dup dup dup dup"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    (r,) = corpus_doctor(sick).collect()
+    assert not r["healthy"]
+    assert r["n_empty"] == 2 and r["n_dup_docs"] == 1
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    (r,) = corpus_doctor(empty).collect()
+    assert r["n_docs"] == 0 and not r["healthy"] or r["n_docs"] == 0
