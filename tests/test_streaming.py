@@ -211,3 +211,41 @@ def test_novelty_batch_strategies_identical(spark, sf_dir):
     a = {r["doc_id"] for r in novelty_batch(docs, strategy="agg").collect()}
     w = {r["doc_id"] for r in novelty_batch(docs, strategy="window").collect()}
     assert a == w and a
+
+
+def test_streaming_profile_merges_to_batch_exact(spark, tmp_path):
+    """Per-micro-batch sketch profiles merged at read == the one-shot
+    profile of everything ingested (counts exact, distincts within
+    sketch tolerance); no rescan of the data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from maup_spark.streaming.profile_stream import (read_merged_profile,
+                                                     streaming_profile)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # three "days" of 400 docs with overlapping doc_id ranges
+    for d in range(3):
+        spark.range(d * 300, d * 300 + 400).select(
+            F.col("id").alias("doc_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            F.concat(F.lit("text "), F.col("id")).alias("text"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_profile(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "prof")
+    )
+    q.awaitTermination(120)
+    merged = {
+        r["column"]: r
+        for r in read_merged_profile(spark, str(tmp_path / "prof")).collect()
+    }
+    assert merged["doc_id"]["n_rows"] == 1200          # rows add
+    assert merged["doc_id"]["n_nulls"] == 0
+    # 0..999 distinct ids across overlapping days: union, not sum
+    est = merged["doc_id"]["n_distinct_est"]
+    assert abs(est - 1000) / 1000 < 0.05
+    est_t = merged["text"]["n_distinct_est"]
+    assert abs(est_t - 1000) / 1000 < 0.05
