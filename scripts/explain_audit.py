@@ -106,6 +106,11 @@ CHECKS = {
         ["Generate", "Window", "HashAggregate"],
         ["Python", "CartesianProduct", "SortAggregate"],
     ),
+    # one-aggregation health gate: no joins, no Python anywhere
+    "corpus_doctor": (
+        ["HashAggregate"],
+        ["Python", "Join", "CartesianProduct", "SortAggregate"],
+    ),
     # the production (capped) LSH config rides the single-join strategy:
     # exploded (band, key) self-join; no per-band join fan-out, no
     # distinct exchange, no Python
