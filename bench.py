@@ -68,7 +68,7 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             # per-session JVM hiccup / GC noise otherwise leaks into the
             # headline when it lands on one of them (see BENCH.md round-4
             # root-cause section)
-            n_rep = repeats + 2 if name in ("assign_points", "prorate_nchars") else repeats
+            n_rep = repeats + 4 if name in ("assign_points", "prorate_nchars") else repeats
             for _ in range(n_rep):
                 t0 = time.perf_counter()
                 df = QUERIES[name](spark, sf_dir)
