@@ -41,6 +41,7 @@ def aggregate_by_assignment(
     source_bounds: tuple | None = None,
     target_bounds: tuple | None = None,
     broadcast_targets: bool = True,
+    layers_are_rects: bool = False,
 ) -> DataFrame:
     """Sum ``columns`` of sources per assigned target (reference idiom
     ``sources[columns].groupby(assign(sources, targets)).sum()``).
@@ -59,6 +60,7 @@ def aggregate_by_assignment(
         source_bounds=source_bounds,
         target_bounds=target_bounds,
         broadcast_targets=broadcast_targets,
+        layers_are_rects=layers_are_rects,
     )
     joined = sources.select(source_id, *columns).join(
         assignment.filter(F.col(target_id).isNotNull()).select(

@@ -257,6 +257,7 @@ def assign(
     target_bounds: tuple | None = None,
     warn_unassigned: bool = False,
     broadcast_targets: bool = True,
+    layers_are_rects: bool = False,
 ) -> DataFrame:
     """Polygon→polygon assignment (reference semantics above).
 
@@ -266,6 +267,12 @@ def assign(
     (/root/reference/maup/assign.py:29-35) — opt-in because the count
     is an extra Spark job on the hot path.  ``broadcast_targets=False``
     ships target WKB through the salted shuffle join (no driver dict).
+
+    ``layers_are_rects=True`` (both bounds tuples required) replaces
+    the Arrow covers+area refine with codegen'd bounds arithmetic —
+    covering = closed-bounds subset, area = LEAST/GREATEST overlap —
+    the zero-Python plan for raster-tile-shaped layers (same IEEE ops
+    as the SQL oracle, so results are bit-identical by construction).
     """
     src = sources.select(
         F.col(source_id).alias("__sid"),
@@ -289,17 +296,38 @@ def assign(
     # Semantics preserved exactly: a source covered by EXACTLY ONE
     # target takes it (method 'covering'); otherwise the max-positive-
     # area target wins, smallest target id on ties (method 'area').
-    if broadcast_targets:
+    if layers_are_rects:
+        if not (source_bounds and target_bounds):
+            raise ValueError("layers_are_rects requires both bounds tuples")
+        sx0, sy0, sx1, sy1 = (F.col(c) for c in source_bounds)
+        tx0, ty0, tx1, ty1 = (F.col(c) for c in target_bounds)
+        ww = F.least(sx1, tx1) - F.greatest(sx0, tx0)
+        hh = F.least(sy1, ty1) - F.greatest(sy0, ty0)
+        pairs = cand.select(
+            "__sid",
+            "__tid",
+            ((tx0 <= sx0) & (sx1 <= tx1) & (ty0 <= sy0) & (sy1 <= ty1))
+            .alias("__cov"),
+            F.when((ww > 0) & (hh > 0), ww * hh).otherwise(F.lit(0.0))
+            .alias("__area"),
+        )
+    elif broadcast_targets:
         bc = geom_broadcast(tgt, "__tid", "__tgeom")
         ca = make_covers_area_by_id_udf(bc)(F.col("__tid"), F.col("__sgeom"))
+        pairs = cand.withColumn("__ca", ca).select(
+            "__sid",
+            "__tid",
+            F.col("__ca.covers").alias("__cov"),
+            F.col("__ca.area").alias("__area"),
+        )
     else:
         ca = covers_area_udf(F.col("__tgeom"), F.col("__sgeom"))
-    pairs = cand.withColumn("__ca", ca).select(
-        "__sid",
-        "__tid",
-        F.col("__ca.covers").alias("__cov"),
-        F.col("__ca.area").alias("__area"),
-    )
+        pairs = cand.withColumn("__ca", ca).select(
+            "__sid",
+            "__tid",
+            F.col("__ca.covers").alias("__cov"),
+            F.col("__ca.area").alias("__area"),
+        )
     w = Window.partitionBy("__sid")
     pairs = pairs.withColumn(
         "__ncov", F.sum(F.col("__cov").cast("int")).over(w)

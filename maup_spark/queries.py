@@ -520,6 +520,7 @@ def q_aggregate_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_id="district_id",
         source_bounds=("x0", "y0", "x1", "y1"),
         target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+        layers_are_rects=True,  # round 4: zero-Python codegen refine
     )
 
 

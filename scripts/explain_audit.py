@@ -47,11 +47,12 @@ CHECKS = {
     # per-row HOF signatures + first-arrival windows: zero Python,
     # no join at all (bands -> window -> hash-agg)
     "novelty_docs": ([], ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"]),
-    # README-idiom aggregate: broadcast cell join + covers refine +
-    # ONE partial-aggregating shuffle
+    # README-idiom aggregate: broadcast cell join + (round 4) codegen'd
+    # rect covers+area refine + ONE partial-aggregating shuffle —
+    # fully zero-Python now
     "aggregate_rects": (
         ["BroadcastHashJoin", "HashAggregate"],
-        ["CartesianProduct", "SortAggregate"],
+        ["CartesianProduct", "SortAggregate", "Python"],
     ),
     # Gopher repetition signals: pure per-row projection (sorted-run
     # HOF fold; HOF lambdas are interpreted, so no codegen span) — NO
