@@ -274,22 +274,35 @@ def assign(
     the zero-Python plan for raster-tile-shaped layers (same IEEE ops
     as the SQL oracle, so results are bit-identical by construction).
     """
-    src = sources.select(
-        F.col(source_id).alias("__sid"),
-        F.col("geometry").alias("__sgeom"),
-        *(source_bounds or ()),
-    )
-    tgt = targets.select(
-        F.col(target_id).alias("__tid"),
-        F.col("geometry").alias("__tgeom"),
-        *(target_bounds or ()),
-    )
-    cand = candidate_pairs(
-        src, tgt, grid, "__sgeom", "__tgeom",
-        source_bounds=source_bounds, target_bounds=target_bounds,
-        broadcast_targets=broadcast_targets,
-        drop_target_geom=broadcast_targets,
-    )
+    if layers_are_rects:
+        if not (source_bounds and target_bounds):
+            raise ValueError("layers_are_rects requires both bounds tuples")
+        # bounds-only projection: the geometry column (often itself a
+        # synthesized/parsed expression) never enters the plan at all
+        src = sources.select(F.col(source_id).alias("__sid"), *source_bounds)
+        tgt = targets.select(F.col(target_id).alias("__tid"), *target_bounds)
+        cand = candidate_pairs(
+            src, tgt, grid, None, None,
+            source_bounds=source_bounds, target_bounds=target_bounds,
+            broadcast_targets=broadcast_targets,
+        )
+    else:
+        src = sources.select(
+            F.col(source_id).alias("__sid"),
+            F.col("geometry").alias("__sgeom"),
+            *(source_bounds or ()),
+        )
+        tgt = targets.select(
+            F.col(target_id).alias("__tid"),
+            F.col("geometry").alias("__tgeom"),
+            *(target_bounds or ()),
+        )
+        cand = candidate_pairs(
+            src, tgt, grid, "__sgeom", "__tgeom",
+            source_bounds=source_bounds, target_bounds=target_bounds,
+            broadcast_targets=broadcast_targets,
+            drop_target_geom=broadcast_targets,
+        )
     # FUSED refine: one Arrow pass computes (covers, area) per candidate
     # pair — the two-phase covering-then-area formulation ran two
     # candidate joins and shipped every batch to Python twice.
@@ -297,8 +310,6 @@ def assign(
     # target takes it (method 'covering'); otherwise the max-positive-
     # area target wins, smallest target id on ties (method 'area').
     if layers_are_rects:
-        if not (source_bounds and target_bounds):
-            raise ValueError("layers_are_rects requires both bounds tuples")
         sx0, sy0, sx1, sy1 = (F.col(c) for c in source_bounds)
         tx0, ty0, tx1, ty1 = (F.col(c) for c in target_bounds)
         ww = F.least(sx1, tx1) - F.greatest(sx0, tx0)

@@ -49,10 +49,13 @@ CHECKS = {
     "novelty_docs": ([], ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # README-idiom aggregate: broadcast cell join + (round 4) codegen'd
     # rect covers+area refine + ONE partial-aggregating shuffle —
-    # fully zero-Python now
+    # zero Python STAGES (the bare "Python" token would false-positive
+    # on applySchemaToPythonRDD, the 556-row local districts fixture
+    # materializing via createDataFrame)
     "aggregate_rects": (
         ["BroadcastHashJoin", "HashAggregate"],
-        ["CartesianProduct", "SortAggregate", "Python"],
+        ["CartesianProduct", "SortAggregate", "ArrowEvalPython",
+         "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"],
     ),
     # Gopher repetition signals: pure per-row projection (sorted-run
     # HOF fold; HOF lambdas are interpreted, so no codegen span) — NO
