@@ -9,7 +9,8 @@ SURVEY §8.3/§8.4's gap with the actual byte-pair-encoding loop:
   corpus-scale pass; BPE training operates on word frequencies, not
   raw text), then a deterministic driver loop learns ``n_merges``
   merges.  ``max_vocab`` caps the driver-side table by frequency rank
-  (top-N hash-agg + window), so the collect is bounded at web scale —
+  (hash-agg + TakeOrderedAndProject distributed top-N), so both the
+  collect AND the rank are bounded at web scale —
   standard practice: tails below the cap cannot influence early merges
   materially, and determinism is preserved by (freq DESC, word) rank.
 - ``bpe_encode_count``: applies a merge table to every document in an
@@ -53,6 +54,28 @@ def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]
     return tuple(out)
 
 
+def word_freq_topn(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 100_000,
+) -> DataFrame:
+    """The one corpus-scale job in BPE training: word-frequency hash-agg
+    + distributed top-``max_vocab`` by (freq DESC, word).  orderBy +
+    limit plans TakeOrderedAndProject — per-partition top-K heaps merged
+    on the driver, NO single-partition global sort (the
+    row_number-over-empty-Window idiom would shuffle the ENTIRE
+    distinct-word table into one task; at web scale that one task sorts
+    10^8+ rows alone).  Same deterministic order, distributed.
+    Plan-audited (scripts/explain_audit.py: bpe_vocab)."""
+    wf = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    return wf.orderBy(F.col("freq").desc(), F.col("w")).limit(max_vocab)
+
+
 def bpe_train_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -62,25 +85,7 @@ def bpe_train_merges(
     """Learn a BPE merge table from the corpus.  Returns the ordered
     merge list [(left, right), ...] (rank = position).  Deterministic:
     the winning pair each round is (count DESC, pair lexicographic)."""
-    from pyspark.sql import Window
-
-    wf = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-    )
-    # bounded driver collect: top max_vocab words by (freq DESC, word)
-    wf = (
-        wf.withColumn(
-            "__r",
-            F.row_number().over(
-                Window.orderBy(F.col("freq").desc(), F.col("w"))
-            ),
-        )
-        .filter(F.col("__r") <= max_vocab)
-        .select("w", "freq")
-    )
+    wf = word_freq_topn(docs, text_col=text_col, max_vocab=max_vocab)
     vocab = {tuple(r["w"]): int(r["freq"]) for r in wf.collect()}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

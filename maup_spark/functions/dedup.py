@@ -486,14 +486,17 @@ def substring_dedup(
     array is gram-key grouping: the suffix array exists to find
     arbitrary-length matches in O(n) single-node memory; at a fixed
     threshold the equi-group on gram keys gives the identical duplicate
-    set with Spark-native shuffles.  Plan shape (2 exchanges of the
-    gram table, nothing else): JVM gram explode (zero shuffle) ->
-    window count over gram-key partitions (exchange 1; a window, not
-    agg+join-back, so the table is shuffled once) -> filter occurrences
-    > 1 (only duplicated grams survive) -> per-doc ordered window sweep
-    for interval union + hash-agg (exchange 2, reused by the final
-    groupBy).  Gram keys are 60-bit md5-prefix BIGINTs (the engine's
-    HashAggregate-friendly idiom, see minhash_signatures).
+    set with Spark-native shuffles.  Plan shape: JVM gram explode
+    (zero shuffle) -> groupBy(gkey) occurrence count (map-side partial
+    combine absorbs hot grams — corpus-wide boilerplate 8-grams are
+    Zipf-hot, and a Window.partitionBy(gkey) would funnel every
+    occurrence of one gram into ONE task, which AQE can never split;
+    the hash-agg + join-back shape is both combinable and AQE
+    skew-join eligible) -> join dup-key set back to the gram table ->
+    per-doc ordered window sweep for interval union + hash-agg (per-doc
+    partitions are bounded by doc length).  Gram keys are 60-bit
+    md5-prefix BIGINTs (the engine's HashAggregate-friendly idiom, see
+    minhash_signatures).
 
     ``scope="corpus"`` counts any repeat (cross-doc or within-doc, the
     paper's semantics); ``scope="cross_doc"`` requires the gram in >= 2
@@ -520,17 +523,25 @@ def substring_dedup(
         .cast("bigint")
         .alias("gkey"),
     )
-    wk = Window.partitionBy("gkey")
     if scope == "corpus":
-        dup = grams.withColumn("__n", F.count("*").over(wk)).filter(F.col("__n") > 1)
+        dup_keys = (
+            grams.groupBy("gkey")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select("gkey")
+        )
     elif scope == "cross_doc":
-        dup = (
-            grams.withColumn(
-                "__nd", F.size(F.collect_set("doc_id").over(wk))
-            ).filter(F.col("__nd") > 1)
+        # two-stage distinct agg: partial on (gkey, doc_id) first, so a
+        # hot gram's rows combine map-side before any exchange
+        dup_keys = (
+            grams.groupBy("gkey")
+            .agg(F.count_distinct("doc_id").alias("__nd"))
+            .filter(F.col("__nd") > 1)
+            .select("gkey")
         )
     else:
         raise ValueError(f"unknown scope {scope!r}")
+    dup = grams.join(dup_keys, "gkey")
     wd = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

@@ -277,10 +277,14 @@ def ann_lsh_pairs(
     single 8-bit table this replaces (p = 1 - θ/π ≈ 0.795).
 
     Physical shape: one signature pass (JVM HOF folds), explode ×L,
-    equi-join on (table, band signature), pair-dedup across tables,
-    exact cosine only on deduped candidates.  Bucket fan-in is n/2^b per
-    table — band_bits is the knob that keeps the quadratic work bounded
-    as the corpus grows."""
+    equi-join on (table, band signature), canonical-table conjunct
+    (a pair is emitted ONLY from the first table where both signatures
+    agree — <= L-1 substring compares per pair, so cross-table dedup
+    costs zero exchanges instead of a dropDuplicates that would shuffle
+    2×vector-wide rows; same idiom as minhash_lsh_pairs' canonical
+    band), exact cosine only on surviving candidates.  Bucket fan-in is
+    n/2^b per table — band_bits is the knob that keeps the quadratic
+    work bounded as the corpus grows."""
     full = lsh_signature_col(vec_col, n_planes=n_tables * band_bits)
     sig = embeddings.select(F.col(id_col), F.col(vec_col), full.alias("__fsig"))
     tabs = sig.withColumn(
@@ -293,12 +297,30 @@ def ann_lsh_pairs(
             F.expr(f"substring(__fsig, __t * {band_bits} + 1, {band_bits})"),
         ),
     )
-    a = tabs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__tsig")
-    b = tabs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__tsig")
+    a = tabs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__fsig").alias("__fsa"),
+        "__t",
+        "__tsig",
+    )
+    b = tabs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__fsig").alias("__fsb"),
+        "__tsig",
+    )
+    # guard __t = 0 explicitly: sequence(0, -1) is DESCENDING in Spark
+    first_match = F.expr(
+        f"""__t = 0 OR forall(
+              sequence(0, __t - 1),
+              tp -> substring(__fsa, tp * {band_bits} + 1, {band_bits})
+                    != substring(__fsb, tp * {band_bits} + 1, {band_bits}))"""
+    )
     pairs = (
         a.join(b, "__tsig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # a pair can match several tables
+        .filter(first_match)
     )
     sim = _dot("__va", "__vb") / (_norm("__va") * _norm("__vb"))
     return (

@@ -104,11 +104,21 @@ CHECKS = {
     # bloom-filter subqueries are scalar aggregates and legitimately
     # single-partition.
     "close_gaps_pacman": ([], ["main:SinglePartition"]),
-    # exact-substring dedup: gram explode (Generate) -> ONE window-count
-    # exchange on gram keys -> per-doc sweep + hash-agg; all JVM
+    # exact-substring dedup: gram explode (Generate) -> groupBy(gkey)
+    # occurrence count (map-side partial combine, NOT a gkey window —
+    # a hot boilerplate gram would funnel into one window task) ->
+    # join-back (AQE skew-join eligible) -> per-doc sweep Window
+    # (bounded by doc length) + hash-agg; all JVM
     "substring_dedup": (
         ["Generate", "Window", "HashAggregate"],
         ["Python", "CartesianProduct", "SortAggregate"],
+    ),
+    # BPE training's one corpus-scale job: word-freq hash-agg + orderBy
+    # + limit -> TakeOrderedAndProject (distributed per-partition top-K),
+    # never a single-partition global sort/window rank
+    "bpe_vocab": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["Python", "main:SinglePartition", "Window", "SortAggregate"],
     ),
     # one-aggregation health gate: no joins, no Python anywhere
     "corpus_doctor": (
@@ -151,9 +161,16 @@ def main() -> None:
 
         return minhash_lsh_pairs(_corpus(spark, sf_dir), max_bucket=1000)
 
+    def build_bpe_vocab(spark, sf_dir):
+        from maup_spark.functions.bpe import word_freq_topn
+        from maup_spark.queries import _corpus
+
+        return word_freq_topn(_corpus(spark, sf_dir), max_vocab=10_000)
+
     builders = {
         "minhash_signatures": build_minhash_signatures,
         "minhash_lsh_capped": build_minhash_lsh_capped,
+        "bpe_vocab": build_bpe_vocab,
     }
 
     failures = []
