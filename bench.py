@@ -52,6 +52,7 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "adjacencies_nations",
             "intersections_triangles",
             "intersections_triangles_shuffle",
+            "intersections_triangles_shuffle_fast",
         ]
         if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
             headline = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")

@@ -264,7 +264,14 @@ def batch_intersection_area(a_wkbs: pd.Series, b_wkbs: pd.Series) -> pd.Series:
 
 def _convex_ring(g):
     """Single-ring polygon with a convex boundary (collinear vertices
-    allowed) -> its closed ring array, else None."""
+    allowed) -> its closed ring array, else None.
+
+    Consistent cross-product sign alone also accepts SELF-INTERSECTING
+    rings with consistent turning (a pentagram winds twice, every turn
+    the same sign) — those must fall through to the arrangement kernel,
+    not the Sutherland–Hodgman fast path.  A simple convex ring turns
+    through exactly one revolution, so additionally require the total
+    exterior-angle sum ≈ ±2π."""
     if g.gtype != "Polygon" or len(g.data) != 1:
         return None
     ring = g.data[0]
@@ -275,6 +282,13 @@ def _convex_ring(g):
     wrap = v[-1, 0] * v[0, 1] - v[-1, 1] * v[0, 0]
     crosses = np.append(cross, wrap)
     if (crosses > 0).any() and (crosses < 0).any():
+        return None
+    dots = np.append(
+        v[:-1, 0] * v[1:, 0] + v[:-1, 1] * v[1:, 1],
+        v[-1, 0] * v[0, 0] + v[-1, 1] * v[0, 1],
+    )
+    turning = float(np.sum(np.arctan2(crosses, dots)))
+    if abs(abs(turning) - 2.0 * np.pi) > 1e-6:
         return None
     return ring
 

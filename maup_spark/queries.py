@@ -685,6 +685,20 @@ def q_intersections_triangles_shuffle(
     )
 
 
+def q_intersections_triangles_shuffle_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shuffle config: non-broadcast salted-shuffle join
+    with the default kernel tiering (convex interior-overlap pairs take
+    the Sutherland–Hodgman fast clip).  The pinned-arrangement
+    ``_shuffle`` twin keeps the general kernel oracle-gated; this row
+    proves the fast-clip tier engages on the shuffle path too —
+    same oracle, identical results, measured separately in bench.py."""
+    return q_intersections_triangles(
+        spark, sf_dir, broadcast_targets=False, exact_kernel="auto"
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.multimodal import frame_sample, media_table
 
@@ -738,6 +752,7 @@ QUERIES.update(
         "adjacencies_nations": q_adjacencies_nations,
         "intersections_triangles": q_intersections_triangles,
         "intersections_triangles_shuffle": q_intersections_triangles_shuffle,
+        "intersections_triangles_shuffle_fast": q_intersections_triangles_shuffle_fast,
     }
 )
 
@@ -1176,6 +1191,7 @@ SELECT entity_id, cell_id, area_x32 FROM areas WHERE area_x32 >= 1
 
 # the shuffle-path variant computes the identical relation — same oracle
 ORACLES["intersections_triangles_shuffle"] = ORACLES["intersections_triangles"]
+ORACLES["intersections_triangles_shuffle_fast"] = ORACLES["intersections_triangles"]
 
 
 # --------------------------------------------------------- repair queries

@@ -97,6 +97,12 @@ CHECKS = {
         [],
         ["BroadcastHashJoin", "BroadcastExchange", "CartesianProduct"],
     ),
+    # same plan shape with the production kernel tiering (convex fast
+    # clip enabled on the shuffle path) — still a real shuffle join
+    "intersections_triangles_shuffle_fast": (
+        [],
+        ["BroadcastHashJoin", "BroadcastExchange", "CartesianProduct"],
+    ),
     # close_gaps rides the tiled hole stitcher now: the MAIN plan must
     # not contain a single-task union stage (Exchange SinglePartition
     # was the round-2 scale pinch in holes_of_union's final fan-in).

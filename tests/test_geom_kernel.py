@@ -223,3 +223,32 @@ def test_convex_fast_clip_matches_arrangement():
     for i in range(len(pairs)):
         if not fast["is_empty"][i] and fast["area"][i] == 0.0:
             assert fast["wkb"][i] == slow["wkb"][i]
+
+
+def test_pentagram_not_classified_convex():
+    """A pentagram ring turns consistently (every cross product the same
+    sign) but winds twice and self-intersects — sign-consistency alone
+    would send it down the Sutherland–Hodgman fast path and silently
+    produce a different area than the arrangement kernel.  The total
+    turning must be one revolution for the convex classification."""
+    import numpy as np
+    import pandas as pd
+
+    from maup_spark.geom import vector as V
+    from maup_spark.geom.base import Geometry
+
+    ang = np.pi / 2 + 2.0 * np.pi * (2.0 / 5.0) * np.arange(5)
+    star = np.column_stack([2 + 2 * np.cos(ang), 2 + 2 * np.sin(ang)])
+    ring = np.vstack([star, star[:1]])
+    penta = Geometry("Polygon", [ring])
+    assert V._convex_ring(penta) is None
+    square = Geometry.polygon(
+        np.array([[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]])
+    )
+    assert V._convex_ring(square) is not None  # sanity: turning check keeps real convex rings
+    a = pd.Series([penta.wkb, square.wkb])
+    b = pd.Series([square.wkb, square.wkb])
+    fast = V.batch_intersection(a, b)
+    slow = V.batch_intersection_arrangement(a, b)
+    assert np.allclose(fast["area"], slow["area"], atol=1e-9)
+    assert np.allclose(fast["length"], slow["length"], atol=1e-9)
