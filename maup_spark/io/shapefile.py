@@ -159,9 +159,26 @@ def read_shapefile_zip(spark, path: str):
     RangeIndex after ``geopandas.read_file``); ``geometry`` is WKB.
     """
     with zipfile.ZipFile(path) as z:
-        members = {os.path.splitext(n)[1].lower(): n for n in z.namelist()}
-        if ".shp" not in members:
+        # Real-world zips carry __MACOSX/._layer.shp resource forks,
+        # hidden files, or several nested layers: skip hidden/underscore
+        # entries, group sidecars by shared basename, and refuse to
+        # guess when more than one candidate layer remains.
+        layers: dict[str, dict[str, str]] = {}
+        for n in z.namelist():
+            bn = os.path.basename(n)
+            if not bn or bn.startswith((".", "_")) or "__MACOSX" in n:
+                continue
+            stem, ext = os.path.splitext(bn)
+            layers.setdefault(stem.lower(), {})[ext.lower()] = n
+        cands = {s: m for s, m in layers.items() if ".shp" in m}
+        if not cands:
             raise ValueError(f"no .shp member in {path}")
+        if len(cands) > 1:
+            raise ValueError(
+                f"multiple shapefile layers in {path}: "
+                f"{sorted(cands)} — extract the one you want"
+            )
+        (members,) = cands.values()
         shp = z.read(members[".shp"])
         dbf = z.read(members[".dbf"]) if ".dbf" in members else None
     shapes = _parse_shp(shp)
@@ -266,7 +283,14 @@ def _dbf_bytes(fields, records) -> bytes:
             if v is None:
                 s = ""
             elif ftype in ("N", "F"):
-                s = (f"{v:.{fdec}f}" if fdec else str(int(v)))[:flen].rjust(flen)
+                s = f"{v:.{fdec}f}" if fdec else str(int(v))
+                if len(s) > flen:
+                    # slicing would silently corrupt the magnitude
+                    raise ValueError(
+                        f"value {v!r} needs {len(s)} chars but field "
+                        f"{name!r} is {ftype}({flen},{fdec}) — widen the field"
+                    )
+                s = s.rjust(flen)
             elif ftype == "L":
                 s = "T" if v else "F"
             else:
@@ -292,13 +316,27 @@ def _infer_fields(records: list[dict]) -> list[tuple[str, str, int, int]]:
                  "N" if isinstance(v, int) else
                  "F" if isinstance(v, float) else "C")
             prev = seen[k]
-            seen[k] = t if prev in ("", t) else "C"
+            if prev in ("", t):
+                seen[k] = t
+            elif {prev, t} == {"N", "F"}:
+                seen[k] = "F"  # mixed int/float stays numeric, not text
+            else:
+                seen[k] = "C"
     for k in order:
         t = seen[k] or "C"
         if t == "N":
-            fields.append((k, "N", 18, 0))
+            # width sized from the data (int64 can need 20 chars with
+            # sign; a fixed 18 would make _dbf_bytes raise)
+            width = max(
+                [18] + [len(str(int(r[k]))) for r in records if r.get(k) is not None]
+            )
+            fields.append((k, "N", width, 0))
         elif t == "F":
-            fields.append((k, "F", 24, 15))
+            width = max(
+                [24]
+                + [len(f"{float(r[k]):.15f}") for r in records if r.get(k) is not None]
+            )
+            fields.append((k, "F", width, 15))
         elif t == "L":
             fields.append((k, "L", 1, 0))
         else:

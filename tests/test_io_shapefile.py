@@ -175,3 +175,75 @@ def test_dataframe_export_roundtrip(spark, tmp_path):
     assert [r["gid"] for r in rows] == [0, 1, 2, 3]
     assert [r["name"] for r in rows] == ["n0", "n1", "n2", "n3"]
     assert Geometry.from_wkb(bytes(rows[2]["geometry"])).area == 1.0
+
+
+def test_zip_member_selection_hardening(spark, tmp_path):
+    """Resource forks (__MACOSX/._layer.shp), hidden entries, and
+    mispaired sidecars must not hijack member selection; two real
+    layers in one zip is ambiguous and must raise."""
+    import io
+    import zipfile
+
+    src = str(tmp_path / "clean.zip")
+    write_shapefile_zip(src, [(Geometry.polygon(_sq(0, 0, 1)), {"A": 1})])
+    with zipfile.ZipFile(src) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+
+    # resource forks + hidden junk alongside the real layer
+    noisy = str(tmp_path / "noisy.zip")
+    with zipfile.ZipFile(noisy, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+        z.writestr("__MACOSX/._clean.shp", b"\x00junk")
+        z.writestr("__MACOSX/._clean.dbf", b"\x00junk")
+        z.writestr(".hidden.shp", b"\x00junk")
+    df = read_shapefile_zip(spark, noisy)
+    assert df.count() == 1 and df.collect()[0]["A"] == 1
+
+    # two full layers -> ambiguous, refuse to guess
+    dual = str(tmp_path / "dual.zip")
+    with zipfile.ZipFile(dual, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+            z.writestr("other/" + n.replace("clean", "other"), b)
+    with pytest.raises(ValueError, match="multiple shapefile layers"):
+        read_shapefile_zip(spark, dual)
+
+
+def test_dbf_numeric_width_is_checked(tmp_path):
+    """A numeric wider than its declared field must raise, never be
+    sliced (left-keeping slice silently corrupts the magnitude)."""
+    path = str(tmp_path / "narrow.zip")
+    with pytest.raises(ValueError, match="widen the field"):
+        write_shapefile_zip(
+            path,
+            [(Geometry.polygon(_sq(0, 0, 1)), {"BIG": 123456})],
+            fields=[("BIG", "N", 4, 0)],
+        )
+
+
+def test_mixed_int_float_infers_numeric(spark, tmp_path):
+    """A column holding both ints and floats must infer as F (numeric),
+    not degrade to C text."""
+    path = str(tmp_path / "mixed.zip")
+    write_shapefile_zip(
+        path,
+        [
+            (Geometry.polygon(_sq(0, 0, 1)), {"V": 2}),
+            (Geometry.polygon(_sq(2, 0, 1)), {"V": 2.5}),
+        ],
+    )
+    df = read_shapefile_zip(spark, path)
+    vals = sorted(r["V"] for r in df.collect())
+    assert vals == [2.0, 2.5]
+    assert dict(df.dtypes)["V"] == "double"
+
+
+def test_wide_int64_roundtrips(spark, tmp_path):
+    """Data-sized numeric widths: an int needing > 18 chars still
+    round-trips exactly."""
+    path = str(tmp_path / "wide.zip")
+    big = -(2**62)
+    write_shapefile_zip(path, [(Geometry.polygon(_sq(0, 0, 1)), {"N": big})])
+    df = read_shapefile_zip(spark, path)
+    assert df.collect()[0]["N"] == big
