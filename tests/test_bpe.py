@@ -51,3 +51,29 @@ def test_train_deterministic(spark):
 
 def test_merge_word_non_overlapping():
     assert _merge_word(tuple("aaa"), ("a", "a")) == ("aa", "a")
+
+
+def test_trained_pin_matches_independent_trainer(spark):
+    """The bpe_trained driver query's oracle replays _BPE_PIN_MERGES,
+    derived by the Spark-free trainer in scripts/derive_bpe_pin.py.
+    The Spark trainer must reproduce that pin exactly on the same
+    100-doc sf0.01 slice — if this drifts, re-run the derivation script
+    and re-pin BOTH (the driver row would go red otherwise)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from maup_spark.queries import (_BPE_PIN_MERGES, _BPE_TRAIN_NMERGES,
+                                    _BPE_TRAIN_SLICE)
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    learned = bpe_train_merges(
+        docs.filter(F.col("doc_id") < _BPE_TRAIN_SLICE),
+        n_merges=_BPE_TRAIN_NMERGES,
+    )
+    assert learned == _BPE_PIN_MERGES
