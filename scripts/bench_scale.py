@@ -78,11 +78,76 @@ def _extra_stages(spark, sf_dir):
 
         return minhash_lsh_pairs(_corpus(spark, sf_dir), max_bucket=1000)
 
+    def substring_dedup_hotgram(spark, sf_dir):
+        # FORCED corpus-wide hot gram (judge r4 task 1): every doc ends
+        # with the same 9-token boilerplate, so two 8-gram keys occur
+        # n_docs times each — the web-boilerplate worst case.  The old
+        # Window.partitionBy(gkey) count would funnel all n_docs
+        # occurrences of each into ONE task; the agg+join-back shape
+        # absorbs them map-side and AQE skew-splits the join-back.
+        # skew_report on the gram keys is printed by main().
+        from maup_spark.functions.dedup import substring_dedup
+
+        return substring_dedup(_hot_docs(spark, sf_dir))
+
     return {
         "simhash_pairs_64": simhash_pairs_64,
         "embedding_dedup_lsh": embedding_dedup_lsh,
         "minhash_lsh_capped": minhash_lsh_capped,
+        "substring_dedup_hotgram": substring_dedup_hotgram,
     }
+
+
+_HOT_SUFFIX = "end of page terms privacy cookies contact about copyright"
+
+
+def _hot_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" " + _HOT_SUFFIX))
+    )
+
+
+def _hotgram_skew(spark, sf_dir) -> dict:
+    """Gram-key skew report for the forced-hot corpus (the exact keyed
+    table substring_dedup groups on)."""
+    from maup_spark.telemetry import skew_report
+
+    grams = _hot_docs(spark, sf_dir).selectExpr(
+        "explode(CASE WHEN size(split(text,' ')) >= 8 THEN"
+        " transform(sequence(0, size(split(text,' ')) - 8),"
+        " i -> conv(substring(md5(concat_ws(' ', slice(split(text,' '), i+1, 8))),"
+        " 1, 15), 16, 10)) ELSE array() END) AS gkey"
+    )
+    return skew_report(grams, "gkey", top_n=3)
+
+
+def _band_skews(spark, sf_dir) -> dict:
+    """Band-bucket skew for the minhash LSH join keys over the dup-rich
+    _corpus (the table whose hot buckets max_bucket caps) — the same
+    histogram the capped path builds internally, surfaced as telemetry."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.functions.dedup import N_BANDS, minhash_signatures
+    from maup_spark.queries import _corpus
+    from maup_spark.telemetry import skew_report
+
+    sig = minhash_signatures(_corpus(spark, sf_dir))
+    buckets = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(b), F.col(f"m{2*b}"), F.col(f"m{2*b+1}")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bucket")
+    )
+    return skew_report(buckets, "bucket", top_n=3)
 
 
 def build_corpus(spark, n_docs: int, out_dir: str) -> None:
@@ -162,6 +227,12 @@ def main() -> None:
             f"({us_per_doc:.2f} us/doc; first run {first_run[name]}s)",
             file=sys.stderr,
         )
+    skew = _hotgram_skew(spark, sf_dir)
+    skew["top"] = [(str(k), c) for k, c in skew["top"]]
+    print(f"# hotgram skew: {skew}", file=sys.stderr)
+    band_skew = _band_skews(spark, sf_dir)
+    band_skew["top"] = [(str(k), c) for k, c in band_skew["top"]]
+    print(f"# minhash band-bucket skew: {band_skew}", file=sys.stderr)
     total = sum(timings.values())
     result = {
         "metric": "document-stage suite throughput",
@@ -173,6 +244,8 @@ def main() -> None:
         "n_docs": n_docs,
         "cpus": cpus,
         "sf": sf_dir,
+        "hotgram_skew": skew,
+        "minhash_band_skew": band_skew,
     }
     with open(out_json, "w") as f:
         f.write(json.dumps(result) + "\n")

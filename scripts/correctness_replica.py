@@ -23,6 +23,8 @@ names = sys.argv[1:] or [
     "prorate_nchars", "events_windowed", "orders_rollup",
     "smart_repair_nations", "resolve_overlaps_nations",
 ]
+if names == ["ALL"]:
+    names = None  # resolved to every registered query below
 
 # REPLICA_MASTER=local[2] probes order-independence at a second
 # parallelism (the historical failure mode: sum order / partition count)
@@ -52,8 +54,17 @@ def value_hash(rows, cols, fams):
     return hashlib.md5((header + "\n" + "\n".join(keys)).encode()).hexdigest()
 
 
+if names is None:
+    names = sorted(Q)
+
 ok = True
 for name in names:
+    if name not in O:
+        # driver records a weaker rows-only check for non-SQL-expressible
+        # queries; the replica mirrors that
+        n = Q[name](spark, SF).count()
+        print(f"{name}: rows {n} (no oracle — rows-only check)")
+        continue
     df = Q[name](spark, SF)
     s_cols = [c.lower() for c in df.columns]
     s_fams = [canon_spark(t) for _, t in df.dtypes]

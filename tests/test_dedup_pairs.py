@@ -127,3 +127,68 @@ def test_substring_dedup_closed_form(spark):
         for r in substring_dedup(docs, min_len=8, scope="cross_doc").collect()
     }
     assert (cross[1]["dup_grams"], cross[4]["dup_grams"]) == (1, 0)
+
+
+def test_substring_dedup_agg_matches_window_shape(spark):
+    """Shape-parity insurance for the round-5 skew fix: the
+    groupBy(gkey)+join-back occurrence count must produce exactly what
+    the replaced Window.partitionBy(gkey) shape produced, including on
+    a corpus with a boilerplate-hot gram shared by every doc."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from maup_spark.functions.dedup import substring_dedup
+
+    suffix = " s1 s2 s3 s4 s5 s6 s7 s8"  # 8-token boilerplate: hot gram
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d" + suffix) for i in range(40)]
+    rows += [(100, "a b c d e f g h i"), (101, "z a b c d e f g h")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def window_shape(docs, L=8):
+        grams = docs.selectExpr(
+            "doc_id",
+            f"""posexplode(
+                  CASE WHEN size(split(text, ' ')) >= {L}
+                       THEN transform(
+                              sequence(0, size(split(text, ' ')) - {L}),
+                              i -> concat_ws(' ', slice(split(text, ' '), i + 1, {L})))
+                       ELSE array()
+                  END) AS (pos, gram)""",
+        ).select(
+            "doc_id", "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint").alias("gkey"),
+        )
+        wk = Window.partitionBy("gkey")
+        dup = grams.withColumn("__n", F.count("*").over(wk)).filter(F.col("__n") > 1)
+        wd = (
+            Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        swept = dup.select(
+            "doc_id", "pos",
+            F.greatest(
+                F.col("pos") + F.lit(L)
+                - F.greatest(F.col("pos"), F.max(F.col("pos") + F.lit(L)).over(wd)),
+                F.lit(0),
+            ).alias("__cov"),
+        )
+        per_doc = swept.groupBy("doc_id").agg(
+            F.count("*").alias("dup_grams"),
+            F.sum("__cov").cast("bigint").alias("dup_token_cov"),
+        )
+        base = docs.selectExpr(
+            "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"
+        )
+        return base.join(per_doc, "doc_id", "left").select(
+            "doc_id", "n_tokens",
+            F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+            F.coalesce("dup_token_cov", F.lit(0)).cast("bigint").alias("dup_token_cov"),
+        )
+
+    got = sorted(tuple(r) for r in substring_dedup(docs).collect())
+    want = sorted(tuple(r) for r in window_shape(docs).collect())
+    assert got == want
+    # hot gram is counted for every doc carrying it
+    out = {r["doc_id"]: r for r in substring_dedup(docs).collect()}
+    assert all(out[i]["dup_grams"] >= 1 for i in range(40))

@@ -1,0 +1,117 @@
+"""The Iceberg branch of io/table.py, exercised via a recording fake.
+
+The sandbox has no Iceberg runtime (no jars, no network to fetch
+iceberg-spark-runtime, no pip/apt), so ``createOrReplace``/``append``
+cannot hit a real catalog here — documented in SURVEY §6.  These tests
+execute every OTHER line of the Iceberg path: catalog detection, the
+DataFrameWriterV2 call chain (using/partitionedBy days/createOrReplace
+vs append), the catalog-table read dispatch, and the clear-error guards
+that replace py4j ClassNotFound stacks.
+"""
+
+import pytest
+
+from maup_spark.io.table import (configure_iceberg, iceberg_available,
+                                 read_table, write_table)
+
+
+class _FakeWriter:
+    def __init__(self, log):
+        self.log = log
+
+    def using(self, fmt):
+        self.log.append(("using", fmt))
+        return self
+
+    def partitionedBy(self, col):
+        # F.days(col) is a Column; record its expression string
+        self.log.append(("partitionedBy", str(col)))
+        return self
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace",))
+
+    def append(self):
+        self.log.append(("append",))
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00")],
+        "id bigint, warc_ts string",
+    ).selectExpr("id", "CAST(warc_ts AS TIMESTAMP) AS warc_ts")
+
+
+def test_iceberg_write_chain(events, monkeypatch):
+    """write_table drives the DataFrameWriterV2 chain with days()
+    hidden partitioning when the catalog reports available."""
+    import maup_spark.io.table as T
+
+    log = []
+    monkeypatch.setattr(T, "iceberg_available", lambda s: True)
+    monkeypatch.setattr(
+        type(events), "writeTo", lambda self, t: log.append(("writeTo", t)) or _FakeWriter(log)
+    )
+    out = write_table(events, "lake.db.pages", partition_col="warc_ts")
+    assert out == "lake.db.pages"
+    assert log[0] == ("writeTo", "lake.db.pages")
+    assert log[1] == ("using", "iceberg")
+    assert log[2][0] == "partitionedBy" and "days(warc_ts)" in log[2][1]
+    assert log[3] == ("createOrReplace",)
+
+    log.clear()
+    write_table(events, "lake.db.pages", mode="append")
+    assert log == [("writeTo", "lake.db.pages"), ("using", "iceberg"), ("append",)]
+
+
+def test_iceberg_read_dispatch(spark, events, monkeypatch):
+    """read_table routes lake.* targets through spark.table."""
+    import maup_spark.io.table as T
+
+    monkeypatch.setattr(T, "iceberg_available", lambda s: True)
+    seen = {}
+
+    def fake_table(name):
+        seen["name"] = name
+        return events
+
+    monkeypatch.setattr(type(spark), "table", lambda self, n: fake_table(n))
+    df = read_table(spark, "lake.db.pages")
+    assert seen["name"] == "lake.db.pages" and df.count() == 2
+
+
+def test_catalog_table_without_catalog_raises(spark, events):
+    """No catalog configured: lake.* targets fail with the documented
+    clear error, never a buried py4j ClassNotFound."""
+    assert not iceberg_available(spark)
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        write_table(events, "lake.db.pages")
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        read_table(spark, "lake.db.pages")
+
+
+def test_parquet_fallback_roundtrip(spark, events, tmp_path):
+    """The fallback writes the same partition layout (__day from the
+    partition col) and reads back clean."""
+    out = str(tmp_path / "pages")
+    assert write_table(events, out, partition_col="warc_ts") == out
+    back = read_table(spark, out)
+    assert back.count() == 2 and "__day" not in back.columns
+
+
+def test_configure_iceberg_builder_confs():
+    """configure_iceberg applies the full catalog config (the exact
+    session confs a real cluster needs alongside --packages)."""
+    applied = {}
+
+    class B:
+        def config(self, k, v):
+            applied[k] = v
+            return self
+
+    configure_iceberg(B(), "/warehouse")
+    assert applied["spark.sql.catalog.lake"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert applied["spark.sql.catalog.lake.type"] == "hadoop"
+    assert applied["spark.sql.catalog.lake.warehouse"] == "/warehouse"
+    assert "Iceberg" in applied["spark.sql.extensions"]
