@@ -73,6 +73,29 @@ def aggregate_by_assignment(
     )
 
 
+def _shares(assignment, weight_col, target_id, strategy):
+    """Per-row share of the group-sum of ``weight_col`` within
+    ``target_id`` — hash-agg + join-back ("agg", hot-group safe) or
+    window sum ("window", single exchange)."""
+    if strategy == "agg":
+        sums = assignment.groupBy(target_id).agg(
+            F.sum(weight_col).alias("__wsum")
+        )
+        return (
+            assignment.join(sums, target_id)
+            .withColumn("__share", F.col(weight_col) / F.col("__wsum"))
+            .drop("__wsum")
+        )
+    if strategy != "window":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(target_id)
+    return assignment.withColumn(
+        "__share", F.col(weight_col) / F.sum(weight_col).over(w)
+    )
+
+
 def disaggregate_by_weight(
     targets: DataFrame,
     assignment: DataFrame,
@@ -80,19 +103,22 @@ def disaggregate_by_weight(
     weight_col: str,
     source_id: str = "source_id",
     target_id: str = "target_id",
+    strategy: str = "agg",
 ) -> DataFrame:
     """Split target ``columns`` down to assigned sources proportionally
     to ``weight_col`` within each target (the README's prorate-by-
-    population idiom, weights precomputed).  Window normalization +
-    one join — no geometry work; use ``prorate`` when the weight IS
-    the intersection area."""
-    from pyspark.sql import Window
+    population idiom, weights precomputed).  Normalization + one join —
+    no geometry work; use ``prorate`` when the weight IS the
+    intersection area.
 
-    w = Window.partitionBy(target_id)
-    shares = assignment.withColumn(
-        "__share",
-        F.col(weight_col) / F.sum(weight_col).over(w),
-    )
+    ``strategy="window"``: single-exchange window sum, right when
+    per-target fan-in is bounded.  ``strategy="agg"`` (default):
+    groupBy(target).sum + join-back — at web scale one target district
+    can hold millions of assigned docs, and a window would serialize
+    that whole group into one task while the hash agg combines it
+    map-side (AQE skew-splits the join-back; it can never split a
+    window partition).  Identical output (parity-tested)."""
+    shares = _shares(assignment, weight_col, target_id, strategy)
     out = shares.join(targets.select(target_id, *columns), target_id)
     return out.select(
         source_id,

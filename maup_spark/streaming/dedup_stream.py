@@ -22,18 +22,42 @@ def fingerprinted(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fingerprint", F.md5(F.col(text_col)))
 
 
-def dedup_batch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def dedup_batch(
+    docs: DataFrame, text_col: str = "text", strategy: str = "agg"
+) -> DataFrame:
     """Batch twin: first row (smallest ts, then doc_id) per fingerprint —
     the exact set the stream emits when every duplicate arrives within
-    the watermark horizon."""
-    from pyspark.sql import Window
+    the watermark horizon.
 
-    w = Window.partitionBy("fingerprint").orderBy("ts", "doc_id")
+    ``strategy="agg"`` (default) finds each fingerprint's winner with a
+    hash aggregation (``min(struct(ts, doc_id))`` — mutable buffer,
+    map-side partial combine) and joins the winner keys back: a
+    boilerplate page duplicated 10^7× across a web crawl combines
+    map-side instead of funneling every copy into one window task (the
+    same hot-key class fixed in substring_dedup/novelty; AQE can split
+    skewed join partitions but never window partitions).
+    ``strategy="window"`` keeps the ROW_NUMBER shape (one exchange,
+    faster when fingerprints are near-distinct); parity-tested."""
+    fp = fingerprinted(docs, text_col)
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fingerprint").orderBy("ts", "doc_id")
+        return (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if strategy != "agg":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    winners = fp.groupBy("fingerprint").agg(
+        F.min(F.struct("ts", "doc_id")).alias("__w")
+    )
     return (
-        fingerprinted(docs, text_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        fp.join(winners, "fingerprint")
+        .filter((F.col("ts") == F.col("__w.ts")) & (F.col("doc_id") == F.col("__w.doc_id")))
+        .drop("__w")
+        .select(*fp.columns)
     )
 
 

@@ -163,3 +163,54 @@ def test_profile_table_nulls_and_approx(spark):
     # sketch mode stays close on tiny input
     approx = {r["column"]: r for r in profile_table(df, exact_distinct=False).collect()}
     assert abs(approx["k"]["n_distinct"] - 3) <= 1
+
+
+def test_strategy_parity_hot_groups(spark):
+    """The round-5 skew-safe "agg" twins must equal the window shape
+    exactly, including on a HOT group (one key holding most rows) —
+    normalize, disaggregate_by_weight, dedup_batch."""
+    from maup_spark.operators.normalize import normalize
+    from maup_spark.streaming.dedup_stream import dedup_batch
+
+    rows = [(1, i, float(i % 7) + 1.0) for i in range(400)]  # hot target 1
+    rows += [(t, 1000 + t, 2.5) for t in range(2, 12)]
+    asg = spark.createDataFrame(rows, "target_id bigint, source_id bigint, w double")
+
+    for level in ("target_id",):
+        a = sorted(
+            tuple(r)
+            for r in normalize(asg, level=level, weight_col="w", out_col="n",
+                               strategy="agg").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in normalize(asg, level=level, weight_col="w", out_col="n",
+                               strategy="window").collect()
+        )
+        assert a == b
+
+    tg = spark.createDataFrame(
+        [(t, 100.0 * t) for t in range(1, 12)], "target_id bigint, pop double"
+    )
+    from maup_spark.operators.aggregate import disaggregate_by_weight
+
+    a = sorted(
+        tuple(r)
+        for r in disaggregate_by_weight(tg, asg, ["pop"], "w",
+                                        strategy="agg").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in disaggregate_by_weight(tg, asg, ["pop"], "w",
+                                        strategy="window").collect()
+    )
+    assert a == b and len(a) == 410
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 5), "same text" if i < 300 else f"uniq {i}")
+         for i in range(330)],
+        "doc_id bigint, ts double, text string",
+    ).selectExpr("doc_id", "CAST(ts AS TIMESTAMP) AS ts", "text")
+    a = sorted(tuple(r) for r in dedup_batch(docs, strategy="agg").collect())
+    b = sorted(tuple(r) for r in dedup_batch(docs, strategy="window").collect())
+    assert a == b and len(a) == 31  # 1 winner for the hot text + 30 uniques

@@ -49,8 +49,7 @@ def all_query_names():
     return sorted(QUERIES)
 
 
-@pytest.mark.parametrize("name", all_query_names())
-def test_query_matches_oracle(spark, sf_dir, ddb, name):
+def _compare(spark, sf_dir, ddb, name):
     from maup_spark.queries import ORACLES, QUERIES
 
     df = QUERIES[name](spark, sf_dir)
@@ -72,3 +71,27 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
         (a, b) for a, b in zip(spark_rows, ora_rows) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    if name == "bpe_trained":
+        # its oracle replays the merge table pinned to the DRIVER's
+        # gate scale (sf0.01, scripts/derive_bpe_pin.py); training on
+        # another SF's 100-doc slice learns different merges by design
+        pytest.skip("bpe_trained oracle is pinned to sf0.01 — see dedicated test")
+    _compare(spark, sf_dir, ddb, name)
+
+
+def test_bpe_trained_matches_oracle_at_driver_scale(spark):
+    """bpe_trained parity at the scale the driver actually gates."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("sf0.01 testdata not present")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    _compare(spark, sf, con, "bpe_trained")
