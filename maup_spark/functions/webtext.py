@@ -1,0 +1,252 @@
+"""Web-crawl hygiene operators: URL canonicalization + crawl dedup,
+host/domain analytics, benchmark-contamination detection, and
+deterministic source upsampling (temperature mixing).
+
+The reference has no web surface (maup is geometry-only); these are
+training-data-pipeline extensions for the Common-Crawl-style pages
+table of the north_star (url, warc_ts, html, text, lang).  Every path
+is JVM built-ins only — regexp/array HOFs for canonicalization, one
+hash-agg for dedup, broadcast join + one agg for contamination — and
+every step has a closed-form ANSI-SQL oracle (maup_spark.queries).
+
+Scale design (10^12 pages):
+- ``canonicalize_url`` is a pure projection (regexp + array_sort over
+  the split query string) — codegen, zero shuffle.
+- ``url_dedup`` keeps the earliest crawl per canonical URL with ONE
+  ``min(struct(...))`` hash aggregation: map-side partial combine
+  absorbs recrawl-heavy URLs (the hot keys of a crawl), no window.
+- ``host_stats`` is a hash-agg on host + TakeOrderedAndProject for the
+  top-N — the driver never sees more than ``top_n`` rows.
+- ``contamination_check`` builds the benchmark gram set (eval suites
+  are ~10^5 docs — tiny vs the corpus) and BROADCASTS it; corpus grams
+  are deduped per-document BEFORE the explode (``array_distinct`` is
+  per-row JVM work), so the only shuffle is the final per-doc count
+  aggregation, which is map-side combinable and keyed by doc_id (no
+  hot key: one document contributes a bounded number of rows).
+- ``upsample_by_source`` replicates rows via ``explode(sequence(...))``
+  with the fractional copy decided by the same 60-bit md5 consistent
+  hash as ``stratified_sample`` — pure projection + explode, no
+  shuffle, deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tracking parameters stripped by canonicalization (the usual crawl
+# noise: analytics campaign tags + click ids + referrer tags).  Keep in
+# sync with the oracle regex in maup_spark/queries.py.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_url(df: DataFrame, url_col: str = "url",
+                     out_col: str = "canon_url") -> DataFrame:
+    """Append a canonical-URL column: lowercase scheme+host, strip
+    ``www.``, default ports, fragments, and tracking params; sort the
+    surviving query params; drop a trailing ``/`` and an empty ``?``.
+
+    Two crawls of the same logical page (http vs https+www vs utm-
+    tagged) canonicalize identically.  Pure codegen projection."""
+    u = F.col(url_col)
+    # 1. drop the fragment
+    u = F.regexp_replace(u, "#.*$", "")
+    base = F.regexp_replace(u, r"\?.*$", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    # 2. lowercase scheme://host[:port] (path stays case-sensitive)
+    origin = F.lower(F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    path = F.regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    # 3. strip www. and default ports from the origin
+    origin = F.regexp_replace(origin, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
+    origin = F.regexp_replace(origin, r"^(http://[^/:]*):80$", r"$1")
+    origin = F.regexp_replace(origin, r"^(https://[^/:]*):443$", r"$1")
+    # 4. drop tracking params, sort the rest for order-insensitivity
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    # 5. trailing slash off the path; re-attach a non-empty query
+    path = F.regexp_replace(path, "/$", "")
+    canon = F.when(qs == "", F.concat(origin, path)).otherwise(
+        F.concat(origin, path, F.lit("?"), qs)
+    )
+    return df.withColumn(out_col, canon)
+
+
+def url_dedup(pages_df: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts", keep_url: bool = True) -> DataFrame:
+    """Crawl-level dedup: one row per canonical URL — the EARLIEST
+    crawl wins (ties broken by raw url for determinism), plus the
+    recrawl count.
+
+    ONE ``min(struct(ts, url))`` aggregation.  The struct buffer makes
+    Spark plan a partial+final SortAggregate (hash agg needs mutable
+    primitive buffers), which is still SKEW-SAFE: ``partial_min``
+    combines map-side, so a recrawl-hot URL (the crawl frontier's hot
+    key) collapses to one row per input partition before the exchange
+    — the anti-pattern this engine bans is the per-key *window*, not a
+    partial-combining sort agg.  The cost is a per-partition sort by
+    canon_url; pipelines that only need (canon_url, first_ts,
+    n_crawls) — e.g. a recrawl scheduler — pass ``keep_url=False`` for
+    the all-numeric twin, a pure ``HashAggregate``.
+
+    Returns (canon_url, url?, warc_ts, n_crawls)."""
+    canon = canonicalize_url(pages_df, url_col=url_col)
+    if not keep_url:
+        return canon.groupBy("canon_url").agg(
+            F.min(F.col(ts_col)).alias(ts_col),
+            F.count("*").alias("n_crawls"),
+        )
+    agg = canon.groupBy("canon_url").agg(
+        F.min(F.struct(F.col(ts_col), F.col(url_col))).alias("__first"),
+        F.count("*").alias("n_crawls"),
+    )
+    return agg.select(
+        "canon_url",
+        F.col(f"__first.{url_col}").alias(url_col),
+        F.col(f"__first.{ts_col}").alias(ts_col),
+        "n_crawls",
+    )
+
+
+def host_of(url_col) -> "F.Column":
+    """Lowercased host with ``www.`` stripped (JVM regexp)."""
+    host = F.lower(F.regexp_extract(url_col, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def host_stats(pages_df: DataFrame, url_col: str = "url",
+               text_col: str = "text", lang_col: str = "lang",
+               top_n: int = 100) -> DataFrame:
+    """Per-host corpus analytics: page count, total extracted chars,
+    distinct languages — top ``top_n`` hosts by page count.
+
+    Hash-agg on host (map-side combinable; a mega-host is absorbed by
+    partial aggregation) + ``orderBy().limit()`` which Spark plans as
+    TakeOrderedAndProject (distributed per-partition top-K, no single-
+    partition sort).  Returns (host, n_pages, total_chars, n_langs)."""
+    return (
+        pages_df.select(
+            host_of(F.col(url_col)).alias("host"),
+            F.length(F.col(text_col)).alias("__chars"),
+            F.col(lang_col).alias("__lang"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("__chars").alias("total_chars"),
+            F.countDistinct("__lang").alias("n_langs"),
+        )
+        .orderBy(F.desc("n_pages"), "host")
+        .limit(top_n)
+    )
+
+
+def _word_grams(text_col, n: int):
+    """Whitespace-token n-grams as a JVM array column (transform +
+    slice HOFs — no Python, no explode yet)."""
+    toks = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # sequence(0, negative) would generate a DESCENDING range — guard
+    # short documents to an empty gram list instead.
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def benchmark_grams(bench_docs: DataFrame, text_col: str = "text",
+                    n: int = 8) -> DataFrame:
+    """The distinct word-n-gram set of an eval/benchmark suite.
+    Benchmark suites are ~10^5 documents — small enough that the
+    resulting gram table broadcast-joins against the corpus."""
+    return (
+        bench_docs.select(
+            F.explode(F.array_distinct(_word_grams(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination detection (the decontamination step of
+    a training pipeline): for every corpus document, the fraction of
+    its distinct word ``n``-grams that appear in the benchmark suite.
+
+    Shape: per-row ``array_distinct`` dedups grams BEFORE the explode
+    (no (doc, gram) distinct shuffle), the benchmark gram set is
+    BROADCAST (eval suites are tiny vs a 10^12-page corpus), and the
+    only exchange is the final per-doc count agg — map-side combinable,
+    keyed by doc_id so no hot key exists.  Returns
+    (doc_id, n_grams, n_matched, contamination) for docs with ≥1 gram;
+    filter ``contamination >= tau`` downstream to drop leaked docs."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_grams(F.col(text_col), n))).alias("gram"),
+    )
+    bench = F.broadcast(
+        benchmark_grams(bench_docs, text_col=text_col, n=n)
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        grams.join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_matched",
+            (F.col("n_matched") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
+def upsample_by_source(
+    docs: DataFrame,
+    weights: dict,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "upsample",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic corpus mixing with weights ≥ 0 (temperature
+    upsampling): weight ``w`` yields ``floor(w)`` copies of every row
+    plus one more iff ``u(id) < frac(w)``, where ``u`` is the same
+    60-bit md5 consistent hash as ``stratified_sample`` — so expected
+    multiplicity is exactly ``w``, output is identical at any
+    parallelism, and a grown corpus keeps prior copies stable.
+
+    Pure projection + ``explode(sequence(1, n_copies))`` — no shuffle,
+    no RNG state.  Output adds ``copy_idx`` (1-based) so downstream
+    shuffles (e.g. a pack-and-shard write) can spread replicas."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col), F.lit(f"#{salt}"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.lit(float(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(w)
+    n_copies = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
+    return (
+        docs.withColumn("__n", n_copies)
+        .filter(F.col("__n") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -2039,3 +2039,250 @@ SELECT n_docs, n_empty, CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
         AND mean_tokens_e3 >= 5000) AS healthy
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 5: web-crawl hygiene (url canonicalization/dedup, host analytics,
+# benchmark contamination, deterministic upsampling) — the crawl-side
+# extensions of the north_star pages schema.  functions/webtext.py.
+# ---------------------------------------------------------------------------
+
+
+def _crawl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-heavy synthetic crawl over the documents table: a base
+    page per doc (one host per source) plus a www+utm recrawl for
+    doc_id%3==0 and a trailing-slash recrawl for doc_id%5==0 — the
+    canonical-URL families a crawl dedup must collapse.  Columns:
+    (url, crawl_ts BIGINT epoch, text, lang)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part)
+    did = F.col("doc_id").cast("string")
+    base_url = F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example.com/doc/"), did)
+    base_ts = (F.lit(1704067200) + F.col("doc_id") * 60).cast("long")
+    base = docs.select(base_url.alias("url"), base_ts.alias("crawl_ts"),
+                       "text", "lang")
+    recrawl_www = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".example.com/doc/"), did,
+                 F.lit("?utm_source=feed&ref=rss")).alias("url"),
+        (base_ts + 86400).alias("crawl_ts"), "text", "lang",
+    )
+    recrawl_slash = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(base_url, F.lit("/")).alias("url"),
+        (base_ts + 3600).alias("crawl_ts"), "text", "lang",
+    )
+    return base.unionAll(recrawl_www).unionAll(recrawl_slash)
+
+
+_CRAWL_CTE = """crawl AS (
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(1704067200 + doc_id * 60 AS BIGINT) AS crawl_ts, text, lang
+  FROM documents
+  UNION ALL
+  SELECT 'https://www.' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=feed&ref=rss',
+         CAST(1704067200 + doc_id * 60 + 86400 AS BIGINT), text, lang
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '/',
+         CAST(1704067200 + doc_id * 60 + 3600 AS BIGINT), text, lang
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# DuckDB mirror of functions.webtext.canonicalize_url (same regexes,
+# same param filter+sort) applied to the crawl CTE
+_CANON_CTE = r"""c1 AS (
+  SELECT url, crawl_ts, regexp_replace(url, '#.*$', '') AS u FROM crawl
+),
+c2 AS (
+  SELECT url, crawl_ts, regexp_replace(u, '\?.*$', '') AS base,
+         regexp_extract(u, '\?(.*)$', 1) AS q
+  FROM c1
+),
+c3 AS (
+  SELECT url, crawl_ts,
+         lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) AS origin0,
+         regexp_replace(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS path0, q
+  FROM c2
+),
+c4 AS (
+  SELECT url, crawl_ts,
+         regexp_replace(regexp_replace(regexp_replace(origin0,
+           '^([a-z][a-z0-9+.-]*://)www\.', '\1'),
+           '^(http://[^/:]*):80$', '\1'),
+           '^(https://[^/:]*):443$', '\1') AS origin,
+         regexp_replace(path0, '/$', '') AS path,
+         COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+           p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+           '&'), '') AS qs
+  FROM c3
+),
+canon AS (
+  SELECT CASE WHEN qs = '' THEN origin || path
+              ELSE origin || path || '?' || qs END AS canon_url,
+         url, crawl_ts
+  FROM c4
+)"""
+
+
+def q_url_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup: earliest crawl per canonical URL + recrawl count.
+    Pure-projection canonicalization then ONE min(struct) hash-agg —
+    map-side combine absorbs recrawl-hot URLs (no per-key window)."""
+    from .functions.webtext import url_dedup
+
+    out = url_dedup(_crawl_pages(spark, sf_dir), ts_col="crawl_ts")
+    return out.select("canon_url", "url",
+                      F.col("crawl_ts").alias("first_ts"), "n_crawls")
+
+
+QUERIES["url_dedup_pages"] = q_url_dedup_pages
+
+ORACLES["url_dedup_pages"] = f"""
+WITH {_CRAWL_CTE},
+{_CANON_CTE},
+sel AS (
+  SELECT canon_url, url, crawl_ts,
+         ROW_NUMBER() OVER (PARTITION BY canon_url
+                            ORDER BY crawl_ts, url) AS rn,
+         COUNT(*) OVER (PARTITION BY canon_url) AS n
+  FROM canon
+)
+SELECT canon_url, url, crawl_ts AS first_ts, n AS n_crawls
+FROM sel WHERE rn = 1
+"""
+
+
+def q_host_stats_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl analytics, top-10 hosts by page count (full
+    (n_pages DESC, host) tie-break so the top-K set is deterministic).
+    Hash-agg + TakeOrderedAndProject — the driver sees 10 rows."""
+    from .functions.webtext import host_stats
+
+    return host_stats(_crawl_pages(spark, sf_dir), top_n=10)
+
+
+QUERIES["host_stats_pages"] = q_host_stats_pages
+
+ORACLES["host_stats_pages"] = f"""
+WITH {_CRAWL_CTE}
+SELECT regexp_replace(lower(regexp_extract(url,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)), '^www\\.', '') AS host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM crawl
+GROUP BY 1
+ORDER BY n_pages DESC, host
+LIMIT 10
+"""
+
+
+def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: the eval suite is the
+    doc_id%97==0 slice; corpus docs with doc_id%10==7 get the text of
+    bench doc 0 appended (a REAL leak the ratio must flag).  Benchmark
+    gram set broadcast; per-doc array_distinct before the explode; one
+    map-side-combinable agg — no hot key (grouped by doc_id)."""
+    from .functions.webtext import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    leak = F.broadcast(
+        bench.filter(F.col("doc_id") == 0).select(F.col("text").alias("__leak"))
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .crossJoin(leak)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == 7,
+                   F.concat(F.col("text"), F.lit(" "), F.col("__leak")))
+            .otherwise(F.col("text")),
+        )
+        .drop("__leak")
+    )
+    out = contamination_check(corpus, bench, n=5)
+    return out.select(
+        "doc_id", "n_grams", "n_matched",
+        F.round(F.col("contamination"), 6).alias("contamination"),
+    )
+
+
+QUERIES["contamination_docs"] = q_contamination_docs
+
+ORACLES["contamination_docs"] = """
+WITH leak AS (SELECT text FROM documents WHERE doc_id = 0),
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN d.text || ' ' || (SELECT text FROM leak)
+              ELSE d.text END AS text
+  FROM documents d WHERE doc_id % 97 <> 0
+),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+cgrams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+           range(0, greatest(len(t) - 5 + 1, 0)),
+           i -> array_to_string(t[i+1:i+5], ' ')))) AS gram
+  FROM ctoks
+),
+btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
+bgrams AS (
+  SELECT DISTINCT UNNEST(list_transform(
+           range(0, greatest(len(t) - 5 + 1, 0)),
+           i -> array_to_string(t[i+1:i+5], ' '))) AS gram
+  FROM btoks
+)
+SELECT c.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       ROUND(CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS contamination
+FROM cgrams c LEFT JOIN bgrams b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+def q_upsample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature upsampling: per-source weights, floor
+    copies + md5-consistent-hash fractional copy.  Pure projection +
+    explode(sequence) — no shuffle, identical at any parallelism."""
+    from .functions.webtext import upsample_by_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    out = upsample_by_source(
+        docs.repartition(n_part),
+        {"src0": 3.0, "src1": 0.0, "src2": 1.5, "src3": 0.25},
+        default_weight=1.0,
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+QUERIES["upsample_sources"] = q_upsample_sources
+
+ORACLES["upsample_sources"] = """
+WITH wtab AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#upsample'),
+                                  1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.0
+                     WHEN 'src2' THEN 1.5 WHEN 'src3' THEN 0.25
+                     ELSE 1.0 END AS w
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT)
+           AS nc
+  FROM wtab
+)
+SELECT doc_id, source, CAST(UNNEST(range(1, nc + 1)) AS INT) AS copy_idx
+FROM n WHERE nc >= 1
+"""

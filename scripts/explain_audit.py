@@ -138,6 +138,43 @@ CHECKS = {
         ["Generate"],
         ["Python", "CartesianProduct", "SortAggregate"],
     ),
+    # crawl dedup (round 5): ONE partial-combining aggregation.  The
+    # struct min plans as SortAggregate (string payloads aren't
+    # hash-buffer eligible) but partial_min combines MAP-SIDE, so a
+    # recrawl-hot URL collapses per input partition before the
+    # exchange — the banned anti-pattern is the per-key Window, which
+    # must stay out
+    "url_dedup_pages": (
+        ["partial_min"],
+        ["Window", "Python", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # the numeric twin (keep_url=False): pure HashAggregate
+    "url_dedup_numeric": (
+        ["HashAggregate"],
+        ["Window", "Python", "SortAggregate", "CartesianProduct"],
+    ),
+    # host analytics: hash-agg + distributed top-K (TakeOrderedAndProject
+    # — the driver sees top_n rows, never a global sort)
+    "host_stats_pages": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["Window", "Python", "CartesianProduct", "SortAggregate"],
+    ),
+    # contamination: benchmark gram set BROADCAST against the corpus
+    # gram explode; per-doc count agg is hash + map-side combinable.
+    # The one BroadcastNestedLoopJoin is the INTENTIONAL 1-row leak
+    # injection of the driver fixture (not operator shape), so only
+    # CartesianProduct is banned
+    "contamination_docs": (
+        ["BroadcastHashJoin", "HashAggregate", "Generate"],
+        ["Python", "CartesianProduct", "SortAggregate", "Window"],
+    ),
+    # deterministic upsampling: projection + explode(sequence) only —
+    # no shuffle, no agg, no join of any kind
+    "upsample_sources": (
+        ["Generate"],
+        ["Python", "HashAggregate", "SortAggregate", "Window",
+         "CartesianProduct", "main:Exchange hashpartitioning"],
+    ),
 }
 
 
@@ -173,10 +210,19 @@ def main() -> None:
 
         return word_freq_topn(_corpus(spark, sf_dir), max_vocab=10_000)
 
+    def build_url_dedup_numeric(spark, sf_dir):
+        from maup_spark.functions.webtext import url_dedup
+        from maup_spark.queries import _crawl_pages
+
+        return url_dedup(
+            _crawl_pages(spark, sf_dir), ts_col="crawl_ts", keep_url=False
+        )
+
     builders = {
         "minhash_signatures": build_minhash_signatures,
         "minhash_lsh_capped": build_minhash_lsh_capped,
         "bpe_vocab": build_bpe_vocab,
+        "url_dedup_numeric": build_url_dedup_numeric,
     }
 
     failures = []

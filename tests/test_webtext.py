@@ -1,0 +1,205 @@
+"""Web-crawl hygiene operators: URL canonicalization/dedup, host
+stats, contamination detection, deterministic upsampling.
+
+Closed-form cases hand-checked; determinism probed by re-running at a
+different partitioning.  The reference has no web surface — these are
+north_star extensions over the pages (url, warc_ts, ...) schema.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from maup_spark.functions.webtext import (
+    benchmark_grams,
+    canonicalize_url,
+    contamination_check,
+    host_stats,
+    upsample_by_source,
+    url_dedup,
+)
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return canonicalize_url(df).select("canon_url").first()[0]
+
+
+class TestCanonicalizeUrl:
+    def test_tracking_params_stripped_and_sorted(self, spark):
+        assert (
+            _canon(spark, "https://Ex.com/p?b=2&utm_source=x&a=1&fbclid=zz")
+            == "https://ex.com/p?a=1&b=2"
+        )
+
+    def test_www_fragment_port_slash(self, spark):
+        assert (
+            _canon(spark, "HTTPS://WWW.Example.COM:443/Path/#frag")
+            == "https://example.com/Path"
+        )
+        assert _canon(spark, "http://www.a.org:80/") == "http://a.org"
+
+    def test_path_case_preserved(self, spark):
+        assert _canon(spark, "https://A.com/CaseSensitive") == "https://a.com/CaseSensitive"
+
+    def test_empty_query_dropped(self, spark):
+        assert _canon(spark, "https://a.com/p?utm_campaign=x") == "https://a.com/p"
+
+    def test_variants_collide(self, spark):
+        variants = [
+            "https://example.com/doc/7",
+            "https://www.example.com/doc/7",
+            "https://example.com/doc/7/",
+            "https://example.com/doc/7?utm_source=feed&ref=rss",
+            "https://EXAMPLE.com/doc/7#section",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        canon = canonicalize_url(df).select("canon_url").distinct().collect()
+        assert len(canon) == 1
+        assert canon[0][0] == "https://example.com/doc/7"
+
+
+class TestUrlDedup:
+    def test_earliest_crawl_wins(self, spark):
+        rows = [
+            ("https://a.com/x?utm_source=s", "2024-01-02 00:00:00"),
+            ("https://www.a.com/x", "2024-01-01 00:00:00"),
+            ("https://a.com/x/", "2024-01-03 00:00:00"),
+            ("https://b.com/y", "2024-01-05 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "url string, ts string").select(
+            "url", F.col("ts").cast("timestamp").alias("warc_ts")
+        )
+        out = {r["canon_url"]: r for r in url_dedup(df).collect()}
+        assert len(out) == 2
+        a = out["https://a.com/x"]
+        assert a["url"] == "https://www.a.com/x"
+        assert a["n_crawls"] == 3
+        assert out["https://b.com/y"]["n_crawls"] == 1
+
+    def test_numeric_twin_parity(self, spark):
+        rows = [
+            ("https://a.com/x?utm_source=s", "2024-01-02 00:00:00"),
+            ("https://www.a.com/x", "2024-01-01 00:00:00"),
+            ("https://b.com/y", "2024-01-05 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "url string, ts string").select(
+            "url", F.col("ts").cast("timestamp").alias("warc_ts")
+        )
+        full = url_dedup(df)
+        numeric = url_dedup(df, keep_url=False)
+        assert sorted(map(tuple, full.drop("url").collect())) == sorted(
+            map(tuple, numeric.select("canon_url", "warc_ts", "n_crawls").collect())
+        )
+
+    def test_tie_breaks_on_raw_url(self, spark):
+        rows = [
+            ("https://a.com/x", "2024-01-01 00:00:00"),
+            ("https://www.a.com/x", "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "url string, ts string").select(
+            "url", F.col("ts").cast("timestamp").alias("warc_ts")
+        )
+        assert url_dedup(df).first()["url"] == "https://a.com/x"
+
+
+class TestHostStats:
+    def test_counts_and_topn(self, spark):
+        rows = [
+            ("https://big.com/1", "aaaa", "en"),
+            ("https://www.big.com/2", "bb", "fr"),
+            ("https://big.com/3", "c", "en"),
+            ("https://small.org/1", "dd", "en"),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string, lang string")
+        out = host_stats(df, top_n=1).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["host"] == "big.com"
+        assert r["n_pages"] == 3
+        assert r["total_chars"] == 7
+        assert r["n_langs"] == 2
+
+    def test_topn_order_deterministic_on_ties(self, spark):
+        rows = [(f"https://h{i}.com/p", "x", "en") for i in range(4)]
+        df = spark.createDataFrame(rows, "url string, text string, lang string")
+        out = [r["host"] for r in host_stats(df, top_n=3).collect()]
+        assert out == ["h0.com", "h1.com", "h2.com"]
+
+
+class TestContamination:
+    def test_exact_leak_flagged(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),          # full leak
+                (2, "alpha beta gamma epsilon zeta"),   # partial prefix overlap
+                (3, "totally unrelated words here"),    # clean
+                (4, "ab"),                              # shorter than n -> no grams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in contamination_check(docs, bench, n=3).collect()}
+        assert out[1]["contamination"] == 1.0 and out[1]["n_grams"] == 2
+        # doc 2 grams: (alpha beta gamma) hit, (beta gamma epsilon),
+        # (gamma epsilon zeta) miss
+        assert out[2]["n_matched"] == 1 and out[2]["n_grams"] == 3
+        assert out[3]["n_matched"] == 0
+        assert 4 not in out  # no grams -> no row
+
+    def test_repeated_gram_counted_once(self, spark):
+        bench = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        docs = spark.createDataFrame([(1, "a b c a b c a b c")], "doc_id long, text string")
+        r = contamination_check(docs, bench, n=3).first()
+        # distinct grams of doc 1: {a b c, b c a, c a b} -> 1 of 3 matched
+        assert r["n_grams"] == 3 and r["n_matched"] == 1
+
+    def test_benchmark_grams_distinct(self, spark):
+        bench = spark.createDataFrame(
+            [(0, "x y z"), (1, "x y z")], "doc_id long, text string"
+        )
+        assert benchmark_grams(bench, n=3).count() == 1
+
+
+class TestUpsample:
+    def test_integer_weights_exact(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s0" if i < 10 else "s1") for i in range(20)],
+            "doc_id long, source string",
+        )
+        out = upsample_by_source(docs, {"s0": 3.0, "s1": 1.0})
+        counts = dict(
+            out.groupBy("source").count().collect()
+        )
+        counts = {r: c for r, c in counts.items()}
+        assert counts["s0"] == 30 and counts["s1"] == 10
+
+    def test_zero_weight_drops(self, spark):
+        docs = spark.createDataFrame([(1, "bad"), (2, "good")], "doc_id long, source string")
+        out = upsample_by_source(docs, {"bad": 0.0, "good": 1.0}).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+    def test_fractional_weight_expected_rate(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "s") for i in range(2000)], "doc_id long, source string"
+        )
+        n = upsample_by_source(docs, {"s": 1.5}).count()
+        # u(id) < 0.5 for ~half the ids: binomial(2000, .5) + 2000
+        assert 2850 <= n <= 3150
+
+    def test_deterministic_across_parallelism(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+        )
+        w = {"s0": 2.25, "s1": 0.5, "s2": 1.0}
+        a = sorted(map(tuple, upsample_by_source(docs, w).collect()))
+        b = sorted(map(tuple, upsample_by_source(docs.repartition(13), w).collect()))
+        assert a == b
+
+    def test_copy_idx_contiguous(self, spark):
+        docs = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+        idx = sorted(
+            r["copy_idx"] for r in upsample_by_source(docs, {"s": 4.0}).collect()
+        )
+        assert idx == [1, 2, 3, 4]
