@@ -2,8 +2,10 @@
 table — the north-star workload as ONE checkpoint-resumable run:
 
     pages ─ extract_text ─ quality gate ─ exact dedup ─ near-dup prune
-          ─ exact-substring prune ─ entity points ─ district assign
-          ─ per-district rollup ─ sketch profile (QA artifact)
+          ─ exact-substring prune ─ benchmark decontamination
+          ─ entity points ─ district assign ─ per-district rollup
+          ─ sketch profile (QA artifact) ─ mixture (temperature
+            upsampling, the final training mix)
 
 Every arrow is a StageRunner stage (parquet checkpoint + `_SUCCESS` +
 per-partition metrics): a preempted run resumes from the last completed
@@ -25,6 +27,8 @@ def training_data_pipeline(
     spark: SparkSession, sf_dir: str, run_dir: str,
     min_quality_e6: int = 500_000,
     max_dup_frac: float = 0.9,
+    decontaminate_tau: float = 0.5,
+    mixture_weights: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {stage: DataFrame} for the checkpointed stages; the final
     ``district_rollup`` is per-district clean-document character mass.
@@ -32,12 +36,17 @@ def training_data_pipeline(
     ``min_quality_e6`` is the quality-gate threshold (the default is
     ``quality_score``'s own keep bar; corpora with no natural-language
     signal — e.g. the synthetic hex bench corpus — score 0.4 and need
-    a lower bar to flow through the remaining stages)."""
+    a lower bar to flow through the remaining stages).
+    ``decontaminate_tau`` drops docs whose distinct-8-gram overlap with
+    the benchmark slice reaches the threshold; ``mixture_weights`` are
+    the per-source temperature-upsampling weights of the final mix
+    (``{}`` = keep everything once)."""
     from . import datagen as D
     from .functions.dedup import exact_dedup, minhash_lsh_pairs, substring_dedup
     from .functions.multimodal import extract_text, pages
     from .functions.profile import profile_table_sketch
     from .functions.text import quality_score
+    from .functions.webtext import contamination_check, upsample_by_source
     from .operators.assign import assign_points
 
     runner = StageRunner(spark, run_dir, run_id="training-data")
@@ -104,8 +113,29 @@ def training_data_pipeline(
         ).select("doc_id")
         return surviving.join(keep, "doc_id")
 
-    final = out["final"] = runner.run_stage(
+    pruned = out["pruned"] = runner.run_stage(
         "substr_dedup", build_substr, inputs=["near_dedup"]
+    )
+
+    # 4c. benchmark decontamination: drop docs whose distinct 8-gram
+    #     overlap with the eval suite (the doc_id % 97 == 0 slice
+    #     stands in for an external benchmark here) reaches tau —
+    #     catches train/test leakage that survives dedup, which only
+    #     compares the corpus against itself.  The benchmark gram set
+    #     broadcasts (eval suites are tiny vs the corpus); benchmark
+    #     docs themselves are excluded from the shipped corpus.
+    def build_decon():
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = pruned.join(bench.select("doc_id"), "doc_id", "left_anti")
+        leaked = (
+            contamination_check(corpus, bench, n=8)
+            .filter(F.col("contamination") >= decontaminate_tau)
+            .select("doc_id")
+        )
+        return corpus.join(leaked, "doc_id", "left_anti")
+
+    final = out["final"] = runner.run_stage(
+        "decontaminate", build_decon, inputs=["substr_dedup"]
     )
 
     # 5. entity points of surviving docs → district assignment
@@ -142,7 +172,23 @@ def training_data_pipeline(
     out["profile"] = runner.run_stage(
         "profile",
         lambda: profile_table_sketch(final),
-        inputs=["substr_dedup"],
+        inputs=["decontaminate"],
+    )
+
+    # 8. the final training mix: deterministic per-source temperature
+    #    upsampling of the shipped corpus (pure projection + explode —
+    #    replicas carry copy_idx so a pack-and-shard write can spread
+    #    them across output files)
+    def build_mixture():
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        return upsample_by_source(
+            final.join(src, "doc_id"), mixture_weights or {}
+        )
+
+    out["mixture"] = runner.run_stage(
+        "mixture", build_mixture, inputs=["decontaminate"]
     )
     out["runner"] = runner
     return out

@@ -43,6 +43,12 @@ DOC_QUERIES = [
     "pages_extract",
     "media_features",
     "frame_sample",
+    # round 5: web-crawl hygiene family (url canonicalize+dedup over
+    # the 1.53M-row synthetic recrawl table, top-K host analytics,
+    # benchmark contamination with a ~10k-doc broadcast gram set)
+    "url_dedup_pages",
+    "host_stats_pages",
+    "contamination_docs",
 ]
 
 
@@ -90,12 +96,73 @@ def _extra_stages(spark, sf_dir):
 
         return substring_dedup(_hot_docs(spark, sf_dir))
 
+    def url_dedup_hot(spark, sf_dir):
+        # FORCED recrawl-hot canonical URL (the crawl-frontier worst
+        # case): half the corpus recrawls ONE landing page under
+        # distinct utm-tagged raw urls, so after canonicalization a
+        # single canon_url key carries n_docs/2 rows.  The partial-
+        # combining min(struct) agg absorbs them map-side; a per-key
+        # window here would funnel 500k rows into one task.
+        # skew_report on canon_url is printed by main().
+        from maup_spark.functions.webtext import url_dedup
+
+        return url_dedup(_hot_crawl(spark, sf_dir), ts_col="crawl_ts")
+
+    def upsample_4x(spark, sf_dir):
+        # deterministic temperature mixing at corpus scale: one source
+        # upsampled 4x, one downsampled to 0.25, rest kept — pure
+        # projection + explode, zero shuffle at any n_docs.
+        from maup_spark.functions.webtext import upsample_by_source
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return upsample_by_source(
+            docs, {"crawl-0": 4.0, "crawl-1": 0.25}, default_weight=1.0
+        )
+
     return {
         "simhash_pairs_64": simhash_pairs_64,
         "embedding_dedup_lsh": embedding_dedup_lsh,
         "minhash_lsh_capped": minhash_lsh_capped,
         "substring_dedup_hotgram": substring_dedup_hotgram,
+        "url_dedup_hot": url_dedup_hot,
+        "upsample_4x": upsample_4x,
     }
+
+
+def _hot_crawl(spark, sf_dir):
+    """Crawl rows where every even doc_id is a utm-tagged recrawl of
+    the SAME landing page (one canonical key with n_docs/2 rows) and
+    odd doc_ids are unique pages."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("https://hot.example.com/landing?utm_campaign=c"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cold.example.com/page/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("url"),
+        (F.lit(1704067200) + F.col("doc_id")).cast("long").alias("crawl_ts"),
+    )
+
+
+def _url_skew(spark, sf_dir) -> dict:
+    """Canonical-url skew report for the forced-hot crawl (the exact
+    keyed table url_dedup aggregates on)."""
+    from maup_spark.functions.webtext import canonicalize_url
+    from maup_spark.telemetry import skew_report
+
+    canon = canonicalize_url(_hot_crawl(spark, sf_dir))
+    return skew_report(canon, "canon_url", top_n=3)
 
 
 _HOT_SUFFIX = "end of page terms privacy cookies contact about copyright"
@@ -233,6 +300,9 @@ def main() -> None:
     band_skew = _band_skews(spark, sf_dir)
     band_skew["top"] = [(str(k), c) for k, c in band_skew["top"]]
     print(f"# minhash band-bucket skew: {band_skew}", file=sys.stderr)
+    url_skew = _url_skew(spark, sf_dir)
+    url_skew["top"] = [(str(k), c) for k, c in url_skew["top"]]
+    print(f"# canon-url skew: {url_skew}", file=sys.stderr)
     total = sum(timings.values())
     result = {
         "metric": "document-stage suite throughput",
@@ -246,6 +316,7 @@ def main() -> None:
         "sf": sf_dir,
         "hotgram_skew": skew,
         "minhash_band_skew": band_skew,
+        "canon_url_skew": url_skew,
     }
     with open(out_json, "w") as f:
         f.write(json.dumps(result) + "\n")

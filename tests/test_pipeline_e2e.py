@@ -8,17 +8,23 @@ from pyspark.sql import functions as F
 from maup_spark.pipeline import training_data_pipeline
 
 
+MIX_WEIGHTS = {"src0": 2.0, "src1": 0.0}
+
+
 def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
     run_dir = str(tmp_path / "run")
-    out = training_data_pipeline(spark, sf_dir, run_dir)
+    out = training_data_pipeline(
+        spark, sf_dir, run_dir, mixture_weights=MIX_WEIGHTS
+    )
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_clean = out["clean"].count()
     n_dedup = out["deduped"].count()
     n_surv = out["surviving"].count()
+    n_pruned = out["pruned"].count()
     n_final = out["final"].count()
     assert 0 < n_clean <= n_docs
-    assert 0 < n_final <= n_surv <= n_dedup <= n_clean
+    assert 0 < n_final <= n_pruned <= n_surv <= n_dedup <= n_clean
 
     rollup = out["district_rollup"]
     rows = rollup.collect()
@@ -45,14 +51,35 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
     assert prof["doc_id"]["n_nulls"] == 0
     assert abs(prof["doc_id"]["n_distinct_est"] - n_final) / n_final < 0.05
 
+    # decontamination: benchmark (doc_id%97==0) docs never ship
+    assert out["final"].filter(F.col("doc_id") % 97 == 0).count() == 0
+
+    # mixture: integer weights are exact — src0 ships 2x, src1 is
+    # dropped, every other source ships once
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    shipped_by_src = dict(
+        out["final"].join(src, "doc_id").groupBy("source").count().collect()
+    )
+    mixed_by_src = dict(out["mixture"].groupBy("source").count().collect())
+    assert "src1" not in mixed_by_src
+    for s, n in shipped_by_src.items():
+        if s == "src0":
+            assert mixed_by_src[s] == 2 * n
+        elif s != "src1":
+            assert mixed_by_src[s] == n
+
     # RESUME: a second invocation must skip every stage (checkpoint hits)
-    out2 = training_data_pipeline(spark, sf_dir, run_dir)
+    out2 = training_data_pipeline(
+        spark, sf_dir, run_dir, mixture_weights=MIX_WEIGHTS
+    )
     assert out2["district_rollup"].count() == len(rows)
     manifest = [
         json.loads(line)
         for line in open(f"{run_dir}/_manifest.jsonl")
     ]
-    second_run = manifest[-8:]  # eight stages logged by the re-run
+    second_run = manifest[-10:]  # ten stages logged by the re-run
     assert all("skipped" in m["status"] for m in second_run)
 
     # per-partition metrics exist for every stage
@@ -61,5 +88,5 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
     }
     assert stages == {
         "docs", "clean", "exact_dedup", "near_dedup", "substr_dedup",
-        "assign", "district_rollup", "profile",
+        "decontaminate", "assign", "district_rollup", "profile", "mixture",
     }

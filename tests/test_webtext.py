@@ -203,3 +203,40 @@ class TestUpsample:
             r["copy_idx"] for r in upsample_by_source(docs, {"s": 4.0}).collect()
         )
         assert idx == [1, 2, 3, 4]
+
+
+def test_streaming_crawl_dedup_matches_batch(spark, tmp_path):
+    """Streaming crawl dedup (canonicalize + dropDuplicatesWithinWatermark):
+    every canonical URL survives exactly once and the surviving canonical
+    set equals the batch twin's (url_dedup); which raw-url representative
+    survives is arrival-order business in the stream."""
+    from maup_spark.streaming.crawl_stream import streaming_crawl_dedup
+
+    crawl = spark.range(300).selectExpr(
+        "CASE WHEN id % 3 = 0"
+        "  THEN concat('https://www.site-', CAST(id % 50 AS STRING),"
+        "              '.com/p?utm_source=s', CAST(id AS STRING))"
+        "  ELSE concat('https://site-', CAST(id % 50 AS STRING), '.com/p')"
+        " END AS url",
+        "timestamp_seconds(1704067200 + id * 60) AS warc_ts",
+        "CAST(NULL AS BINARY) AS html",
+    )
+    src = str(tmp_path / "crawlsrc")
+    crawl.repartition(4).write.parquet(src)
+
+    q = streaming_crawl_dedup(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "crawlckpt"),
+        output_dir=str(tmp_path / "crawlout"),
+        watermark="10 minutes",
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(str(tmp_path / "crawlout"))
+    want = url_dedup(crawl, ts_col="warc_ts")
+    got_canon = [r["canon_url"] for r in got.select("canon_url").collect()]
+    want_canon = {r["canon_url"] for r in want.collect()}
+    assert len(got_canon) == len(set(got_canon))  # exactly once each
+    assert set(got_canon) == want_canon
+    assert got.count() == 50  # 50 logical pages behind 300 crawl rows
