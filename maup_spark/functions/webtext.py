@@ -31,7 +31,7 @@ Scale design (10^12 pages):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tracking parameters stripped by canonicalization (the usual crawl
@@ -211,6 +211,61 @@ def contamination_check(
             "n_matched",
             (F.col("n_matched") / F.col("n_grams")).alias("contamination"),
         )
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 1_000_000,
+) -> DataFrame:
+    """Token-stream sharding (the pack-and-write step of a pretraining
+    pipeline): conceptually concatenate all documents in ``id_col``
+    order into one token stream and cut it every ``tokens_per_shard``
+    tokens; each document gets its global ``start_offset`` in the
+    stream and the ``shard_id`` containing that start (documents may
+    straddle a cut — the standard offset-based packing of a token
+    stream).
+
+    The global prefix sum runs as a TWO-LEVEL scan, never a global
+    window over rows: documents cumulate inside fixed id-range blocks
+    (``Window.partitionBy(block)`` — per-key row count bounded by
+    ``block`` BY CONSTRUCTION, so no data-dependent hot key exists),
+    block subtotals cumulate in a second window over the block table
+    (n_docs/block rows — 10^6 rows of two BIGINTs at 10^12 docs; add a
+    third level before that is ever large), and the block offsets
+    BROADCAST back.  Output is identical at any parallelism (the order
+    is the id order, not the partition order).
+
+    Returns (id_col, n_tokens, start_offset, shard_id)."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.floor(F.col(id_col) / block).alias("__blk"),
+    )
+    w_local = (
+        Window.partitionBy("__blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__cum", F.sum("n_tokens").over(w_local))
+    blocks = base.groupBy("__blk").agg(F.sum("n_tokens").alias("__bsum"))
+    w_blk = Window.orderBy("__blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = blocks.withColumn(
+        "__off", F.coalesce(F.sum("__bsum").over(w_blk), F.lit(0))
+    )
+    out = local.join(F.broadcast(offs.select("__blk", "__off")), "__blk")
+    start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
+    return out.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / tokens_per_shard).cast("long").alias("shard_id"),
     )
 
 

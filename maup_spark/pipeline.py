@@ -187,8 +187,25 @@ def training_data_pipeline(
             final.join(src, "doc_id"), mixture_weights or {}
         )
 
-    out["mixture"] = runner.run_stage(
+    mixture = out["mixture"] = runner.run_stage(
         "mixture", build_mixture, inputs=["decontaminate"]
     )
+
+    # 9. token-stream sharding of the mix: every (doc, copy) gets its
+    #    global start offset and shard in the concatenated token stream
+    #    (two-level prefix scan — see functions.webtext.pack_shards).
+    #    pack_id orders replicas right after their original so copies
+    #    of one doc land in nearby shards deterministically.
+    def build_pack():
+        from .functions.webtext import pack_shards
+
+        keyed = mixture.withColumn(
+            "pack_id", F.col("doc_id") * 1000 + F.col("copy_idx")
+        )
+        return pack_shards(
+            keyed, tokens_per_shard=100_000, id_col="pack_id"
+        )
+
+    out["pack"] = runner.run_stage("pack", build_pack, inputs=["mixture"])
     out["runner"] = runner
     return out

@@ -2286,3 +2286,35 @@ n AS (
 SELECT doc_id, source, CAST(UNNEST(range(1, nc + 1)) AS INT) AS copy_idx
 FROM n WHERE nc >= 1
 """
+
+
+def q_pack_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-stream sharding over the documents table (K=1000 tokens
+    per shard, small blocks so the two-level scan actually exercises
+    the block-offset path at sf scale)."""
+    from .functions.webtext import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    return pack_shards(docs.repartition(n_part), 1000, block=64)
+
+
+QUERIES["pack_shards_docs"] = q_pack_shards_docs
+
+ORACLES["pack_shards_docs"] = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
+FROM c
+"""

@@ -168,6 +168,16 @@ CHECKS = {
         ["BroadcastHashJoin", "HashAggregate", "Generate"],
         ["Python", "CartesianProduct", "SortAggregate", "Window"],
     ),
+    # token-stream sharding: TWO-LEVEL prefix scan — a per-block window
+    # (row count bounded by `block` BY CONSTRUCTION, no data-dependent
+    # hot key) + a window over the tiny block-subtotal table (n/block
+    # rows; ITS SinglePartition exchange is intentional and bounded) +
+    # broadcast join of the block offsets.  Never a global row window,
+    # no Python, no cartesian
+    "pack_shards_docs": (
+        ["Window", "BroadcastHashJoin"],
+        ["Python", "CartesianProduct"],
+    ),
     # deterministic upsampling: projection + explode(sequence) only —
     # no shuffle, no agg, no join of any kind
     "upsample_sources": (

@@ -79,8 +79,18 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
         json.loads(line)
         for line in open(f"{run_dir}/_manifest.jsonl")
     ]
-    second_run = manifest[-10:]  # ten stages logged by the re-run
+    second_run = manifest[-11:]  # eleven stages logged by the re-run
     assert all("skipped" in m["status"] for m in second_run)
+
+    # pack: the token stream is gapless over the whole mix (last start
+    # + last length == total token mass) and one row per mix replica
+    pack = out["pack"]
+    assert pack.count() == out["mixture"].count()
+    total = out["mixture"].select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    last = pack.orderBy(F.desc("pack_id")).first()
+    assert last["start_offset"] + last["n_tokens"] == total
 
     # per-partition metrics exist for every stage
     stages = {
@@ -89,4 +99,5 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
     assert stages == {
         "docs", "clean", "exact_dedup", "near_dedup", "substr_dedup",
         "decontaminate", "assign", "district_rollup", "profile", "mixture",
+        "pack",
     }

@@ -240,3 +240,62 @@ def test_streaming_crawl_dedup_matches_batch(spark, tmp_path):
     assert len(got_canon) == len(set(got_canon))  # exactly once each
     assert set(got_canon) == want_canon
     assert got.count() == 50  # 50 logical pages behind 300 crawl rows
+
+
+class TestPackShards:
+    def test_closed_form(self, spark):
+        # docs of 3, 5, 4, 10, 2 tokens; K=8 -> starts 0,3,8,12,22
+        texts = ["a b c", "d e f g h", "i j k l", " ".join("m" * 10), "y z"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        from maup_spark.functions.webtext import pack_shards
+
+        out = {r["doc_id"]: r for r in pack_shards(df, 8).collect()}
+        assert [(out[i]["start_offset"], out[i]["shard_id"]) for i in range(5)] == [
+            (0, 0), (3, 0), (8, 1), (12, 1), (22, 2)
+        ]
+
+    def test_two_level_scan_matches_single_block(self, spark):
+        from maup_spark.functions.webtext import pack_shards
+
+        df = spark.createDataFrame(
+            [(i, " ".join("w" * (1 + i % 7))) for i in range(500)],
+            "doc_id long, text string",
+        )
+        small_blocks = sorted(
+            map(tuple, pack_shards(df, 100, block=37).collect())
+        )
+        one_block = sorted(
+            map(tuple, pack_shards(df, 100, block=10**9).collect())
+        )
+        assert small_blocks == one_block
+
+    def test_deterministic_across_parallelism(self, spark):
+        from maup_spark.functions.webtext import pack_shards
+
+        df = spark.createDataFrame(
+            [(i, " ".join("w" * (1 + i % 5))) for i in range(300)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, pack_shards(df, 64, block=50).collect()))
+        b = sorted(
+            map(tuple, pack_shards(df.repartition(13), 64, block=50).collect())
+        )
+        assert a == b
+
+    def test_stream_is_gapless(self, spark):
+        from maup_spark.functions.webtext import pack_shards
+
+        df = spark.createDataFrame(
+            [(i, " ".join("w" * (1 + i % 3))) for i in range(100)],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            pack_shards(df, 10, block=9).collect(), key=lambda r: r["doc_id"]
+        )
+        pos = 0
+        for r in rows:
+            assert r["start_offset"] == pos
+            assert r["shard_id"] == pos // 10
+            pos += r["n_tokens"]
