@@ -49,6 +49,9 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "simhash",
             "cosine_topk",
             "pages_extract",
+            "url_dedup_pages",
+            "contamination_docs",
+            "pack_shards_docs",
             "adjacencies_nations",
             "intersections_triangles",
             "intersections_triangles_shuffle",
