@@ -276,7 +276,13 @@ def main() -> None:
     rows_out: dict[str, int] = {}
     extra = _extra_stages(spark, sf_dir)
     first_run: dict[str, float] = {}
-    for name in DOC_QUERIES + list(extra):
+    stages = DOC_QUERIES + list(extra)
+    # SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the run (e.g. the
+    # 10^7 decade probe runs the linear-path subset only)
+    if os.environ.get("SPARK_GRAFT_SCALE_QUERIES"):
+        only = os.environ["SPARK_GRAFT_SCALE_QUERIES"].split(",")
+        stages = [s for s in stages if s in only]
+    for name in stages:
         run = extra.get(name, QUERIES.get(name))
         best = None
         for i in range(repeats):
@@ -297,19 +303,23 @@ def main() -> None:
             f"({us_per_doc:.2f} us/doc; first run {first_run[name]}s)",
             file=sys.stderr,
         )
-    skew = _hotgram_skew(spark, sf_dir)
-    skew["top"] = [(str(k), c) for k, c in skew["top"]]
-    print(f"# hotgram skew: {skew}", file=sys.stderr)
-    band_skew = _band_skews(spark, sf_dir)
-    band_skew["top"] = [(str(k), c) for k, c in band_skew["top"]]
-    print(f"# minhash band-bucket skew: {band_skew}", file=sys.stderr)
-    url_skew = _url_skew(spark, sf_dir)
-    url_skew["top"] = [(str(k), c) for k, c in url_skew["top"]]
-    print(f"# canon-url skew: {url_skew}", file=sys.stderr)
+    skew = band_skew = url_skew = None
+    if "substring_dedup_hotgram" in stages:
+        skew = _hotgram_skew(spark, sf_dir)
+        skew["top"] = [(str(k), c) for k, c in skew["top"]]
+        print(f"# hotgram skew: {skew}", file=sys.stderr)
+    if "minhash_lsh_capped" in stages:
+        band_skew = _band_skews(spark, sf_dir)
+        band_skew["top"] = [(str(k), c) for k, c in band_skew["top"]]
+        print(f"# minhash band-bucket skew: {band_skew}", file=sys.stderr)
+    if "url_dedup_hot" in stages:
+        url_skew = _url_skew(spark, sf_dir)
+        url_skew["top"] = [(str(k), c) for k, c in url_skew["top"]]
+        print(f"# canon-url skew: {url_skew}", file=sys.stderr)
     total = sum(timings.values())
     result = {
         "metric": "document-stage suite throughput",
-        "value": round(n_docs * len(DOC_QUERIES) / total, 1),
+        "value": round(n_docs * len(timings) / total, 1),
         "unit": "docs/sec (per stage, suite mean)",
         "queries": timings,
         "first_run": first_run,

@@ -299,3 +299,40 @@ class TestPackShards:
             assert r["start_offset"] == pos
             assert r["shard_id"] == pos // 10
             pos += r["n_tokens"]
+
+
+def test_canonicalize_idempotent_over_url_grammar(spark):
+    """canon(canon(u)) == canon(u) over the product of URL components
+    (scheme x www x host-case x port x path x params x fragment) —
+    the invariant that makes re-canonicalizing stored canon_urls safe
+    (e.g. joining fresh crawls against an already-canonical frontier)."""
+    import itertools
+
+    urls = []
+    for scheme, www, host, port, path, q, frag in itertools.product(
+        ["http://", "https://"],
+        ["", "www."],
+        ["Ex.COM", "sub.ex.org"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/A/b", "/A/b/"],
+        ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2&ref=r&z=9"],
+        ["", "#frag"],
+    ):
+        urls.append(f"{scheme}{www}{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url(df).select(
+        F.col("url"), F.col("canon_url").alias("c1")
+    )
+    twice = canonicalize_url(
+        once.select(F.col("c1").alias("url"), "c1"), out_col="c2"
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], f"not idempotent for {bad[:5]}"
+    # and no canonical url retains noise markers (":80"/":443" are only
+    # noise on their OWN scheme — http://host:443 is a real port)
+    noisy = twice.filter(
+        F.col("c1").rlike("#|utm_|fbclid|gclid|://www\\.")
+        | F.col("c1").rlike("^http://[^/?#]*:80([/?]|$)")
+        | F.col("c1").rlike("^https://[^/?#]*:443([/?]|$)")
+    ).collect()
+    assert noisy == []
