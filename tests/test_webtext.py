@@ -336,3 +336,54 @@ def test_canonicalize_idempotent_over_url_grammar(spark):
         | F.col("c1").rlike("^https://[^/?#]*:443([/?]|$)")
     ).collect()
     assert noisy == []
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination (stateless foreachBatch over a static
+    benchmark): surviving doc set equals the batch operator's filter at
+    the same tau, independent of micro-batch boundaries."""
+    from maup_spark.streaming.contamination_stream import (
+        streaming_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(10_000, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "timestamp_seconds(1704067200 + id * 60) AS ts",
+        # every 7th doc embeds the benchmark text (a leak); others are
+        # unique word salads
+        "CASE WHEN id % 7 = 0"
+        "  THEN 'alpha beta gamma delta epsilon zeta tail-' || CAST(id AS STRING)"
+        "  ELSE 'w' || CAST(id AS STRING) || ' x y z q r s t u v'"
+        " END AS text",
+    )
+    src = str(tmp_path / "decsrc")
+    docs.repartition(4).write.parquet(src)
+
+    q = streaming_decontaminate(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "decckpt"),
+        output_dir=str(tmp_path / "decout"),
+        bench_docs=bench,
+        tau=0.3,
+        n=3,
+    )
+    q.awaitTermination(240)
+
+    got = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "decout")).select("doc_id").collect()}
+    from maup_spark.functions.webtext import contamination_check
+
+    leaked = {
+        r["doc_id"]
+        for r in contamination_check(docs, bench, n=3)
+        .filter(F.col("contamination") >= 0.3)
+        .collect()
+    }
+    want = {r["doc_id"] for r in docs.select("doc_id").collect()} - leaked
+    assert got == want
+    assert len(leaked) > 0  # the forced leaks were caught
