@@ -17,19 +17,31 @@ from .dedup import (
 )
 from .profile import profile_table
 from .similarity import ann_lsh_pairs, cosine_topk, embedding_dedup, ivf_topk
+from .webtext import (
+    canonicalize_url,
+    contamination_check,
+    host_stats,
+    pack_shards,
+    upsample_by_source,
+    url_dedup,
+)
 
 __all__ = [
     "ann_lsh_pairs",
     "bpe_token_count",
+    "canonicalize_url",
+    "contamination_check",
     "cosine_topk",
     "doc_fingerprint",
     "embedding_dedup",
     "exact_dedup",
+    "host_stats",
     "ivf_topk",
     "lang_id",
     "line_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "pack_shards",
     "profile_table",
     "repetition_score",
     "simhash_pairs",
@@ -37,4 +49,6 @@ __all__ = [
     "stratified_sample",
     "text_stats",
     "token_count",
+    "upsample_by_source",
+    "url_dedup",
 ]

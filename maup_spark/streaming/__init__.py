@@ -1,9 +1,13 @@
 from .assign_stream import streaming_assign_counts, streaming_points
+from .contamination_stream import streaming_decontaminate
+from .crawl_stream import streaming_crawl_dedup
 from .sessions import sessionize_batch, streaming_sessionize
 
 __all__ = [
     "sessionize_batch",
     "streaming_assign_counts",
+    "streaming_crawl_dedup",
+    "streaming_decontaminate",
     "streaming_points",
     "streaming_sessionize",
 ]
