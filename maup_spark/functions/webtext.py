@@ -175,9 +175,10 @@ def benchmark_grams(bench_docs: DataFrame, text_col: str = "text",
 
 def contamination_check(
     docs: DataFrame,
-    bench_docs: DataFrame,
+    bench_docs: DataFrame = None,
     text_col: str = "text",
     n: int = 8,
+    bench_grams: DataFrame = None,
 ) -> DataFrame:
     """Benchmark-contamination detection (the decontamination step of
     a training pipeline): for every corpus document, the fraction of
@@ -189,15 +190,21 @@ def contamination_check(
     only exchange is the final per-doc count agg — map-side combinable,
     keyed by doc_id so no hot key exists.  Returns
     (doc_id, n_grams, n_matched, contamination) for docs with ≥1 gram;
-    filter ``contamination >= tau`` downstream to drop leaked docs."""
+    filter ``contamination >= tau`` downstream to drop leaked docs.
+
+    Pass ``bench_grams`` (a ``benchmark_grams(...)`` result, ideally
+    ``.persist()``-ed) instead of ``bench_docs`` when scoring many
+    batches against one benchmark — e.g. the streaming twin — so the
+    gram aggregation computes once, not per call."""
+    if bench_grams is None:
+        if bench_docs is None:
+            raise ValueError("pass bench_docs or bench_grams")
+        bench_grams = benchmark_grams(bench_docs, text_col=text_col, n=n)
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_word_grams(F.col(text_col), n))).alias("gram"),
     )
-    bench = F.broadcast(
-        benchmark_grams(bench_docs, text_col=text_col, n=n)
-        .withColumn("__hit", F.lit(1))
-    )
+    bench = F.broadcast(bench_grams.withColumn("__hit", F.lit(1)))
     return (
         grams.join(bench, "gram", "left")
         .groupBy("doc_id")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.webtext import contamination_check
+from ..functions.webtext import benchmark_grams, contamination_check
 
 
 def streaming_decontaminate(
@@ -38,10 +38,13 @@ def streaming_decontaminate(
         .option("maxFilesPerTrigger", 4)
         .parquet(source_dir)
     )
+    # the gram aggregation runs ONCE; every micro-batch broadcasts the
+    # persisted result instead of re-aggregating the benchmark
+    grams = benchmark_grams(bench_docs, text_col=text_col, n=n).persist()
 
     def emit(batch: DataFrame, batch_id: int) -> None:
         leaked = (
-            contamination_check(batch, bench_docs, text_col=text_col, n=n)
+            contamination_check(batch, bench_grams=grams, text_col=text_col, n=n)
             .filter(F.col("contamination") >= tau)
             .select("doc_id")
         )
