@@ -569,3 +569,42 @@ def substring_dedup(
         F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
         F.coalesce("dup_token_cov", F.lit(0)).cast("bigint").alias("dup_token_cov"),
     )
+
+
+def keep_best(
+    clustered: DataFrame,
+    cluster_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    min_members: int = 1,
+) -> DataFrame:
+    """Duplicate-cluster representative selection (the RefinedWeb-style
+    "keep the best copy" policy): per cluster, keep the member with the
+    HIGHEST ``score_col``, ties broken by the LOWEST ``id_col`` — fully
+    deterministic at any parallelism (``max_by`` alone is not: its tie
+    choice is arrival-order).
+
+    ONE hash aggregation via lexicographic ``max(struct(score, -id))``
+    — map-side partial combine absorbs any hot cluster (a corpus-wide
+    boilerplate cluster collapses to one row per input partition before
+    the exchange), no per-key window.  ``min_members`` > 1 restricts
+    the output to genuine duplicate clusters.
+
+    Returns (cluster_col, id_col, score_col, n_members)."""
+    best = clustered.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("__b"),
+        F.count("*").alias("n_members"),
+    )
+    if min_members > 1:
+        best = best.filter(F.col("n_members") >= min_members)
+    return best.select(
+        cluster_col,
+        (-F.col("__b.nid")).alias(id_col),
+        F.col("__b.s").alias(score_col),
+        "n_members",
+    )

@@ -67,7 +67,8 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 _PUNCT = (".", ",", "!", "?", ";", ":")
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  keep_cols: tuple = ()) -> DataFrame:
     """Composite document quality gate (the classic pre-training
     filters: length band, punctuation density, stopword density, mean
     token length) — 100% codegen, scaled-BIGINT score so the result is
@@ -76,7 +77,11 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score_e6 = round(1e6 * (0.4*len_ok + 0.3*min(1, 10*punct_ratio)
                             + 0.3*min(1, 20*stop_ratio)))
     with len_ok = 1 if 64 <= len_chars <= 100000 else 0.
-    keep = score_e6 >= 500000."""
+    keep = score_e6 >= 500000.
+
+    ``keep_cols``: extra Columns appended to the output projection
+    (e.g. a fingerprint for a downstream keep-best pass) so callers
+    stay one-pass instead of re-joining on doc_id."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = F.size(F.split(t, " ")).cast("double")
@@ -104,6 +109,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         punct.cast("long").alias("n_punct"),
         score_e6.alias("score_e6"),
         (score_e6 >= 500000).alias("keep"),
+        *keep_cols,
     )
 
 

@@ -312,3 +312,63 @@ def upsample_by_source(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (the C4/Dolma/RefinedWeb redaction stage)
+# ---------------------------------------------------------------------------
+
+# Shared regex grammar for PII detection.  Both Spark (Java regex) and
+# the DuckDB oracle (RE2) interpret these identically: no
+# backreferences, no lookaround — plain character classes, bounded
+# quantifiers and \b word boundaries only.  Keep in sync with the
+# oracle SQL in maup_spark/queries.py.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Redaction order matters (an email's host can contain digit.digit
+# runs); counts are taken on the ORIGINAL text so they are
+# order-independent, replacement is email -> phone -> ip.
+_PII_STAGES = (
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+    ("ipv4", PII_IPV4_RE, "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "clean_text") -> DataFrame:
+    """Detect and redact emails, intl-format phone numbers, and IPv4
+    addresses (the standard pre-training PII pass, cf. C4/Dolma).
+
+    Adds ``n_email``/``n_phone``/``n_ipv4`` (match counts on the
+    original text) and ``out_col`` (the redacted text, matches
+    replaced by ``<EMAIL>``/``<PHONE>``/``<IP>`` in that order).
+
+    100% codegen projection (``regexp_count`` + chained
+    ``regexp_replace``) — zero shuffle, no Python; at 10^12 pages this
+    is a free rider on whatever scan feeds it.  Scrubbing is
+    idempotent: the replacement tokens contain no digits or ``@`` so
+    no pattern can match the redacted output (tested)."""
+    t = F.col(text_col)
+    out = df
+    clean = t
+    for name, pat, repl in _PII_STAGES:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(t, F.lit(pat)).cast("long"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.withColumn(out_col, clean)
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level PII exposure report: total matches and affected-doc
+    counts per PII class.  ONE hash aggregation over the ``pii_scrub``
+    projection (map-side combinable, no keys — a scalar agg)."""
+    scrubbed = pii_scrub(df, text_col=text_col)
+    aggs = []
+    for name, _, _ in _PII_STAGES:
+        c = F.col(f"n_{name}")
+        aggs.append(F.sum(c).alias(f"total_{name}"))
+        aggs.append(F.sum((c > 0).cast("long")).alias(f"docs_with_{name}"))
+    return scrubbed.agg(*aggs)

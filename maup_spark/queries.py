@@ -2318,3 +2318,163 @@ SELECT doc_id, n_tokens,
        CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS shard_id
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + duplicate-cluster keep-best (round 5 webtext additions)
+# ---------------------------------------------------------------------------
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected PII so the scrub has
+    known positives: every 7th doc gains an email, every 11th an IPv4,
+    every 13th an intl-format phone number (a doc can gain several)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" Contact user"), ds,
+                 F.lit("@example.com for details.")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" Served from 10."), (did % 256).cast("string"),
+                 F.lit("."), ((did * 7) % 256).cast("string"),
+                 F.lit("."), ((did * 13) % 256).cast("string"),
+                 F.lit(" ok.")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 13 == 0,
+        F.concat(F.lit(" Call +1-"),
+                 F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+                 F.lpad(((did * 3) % 1000).cast("string"), 3, "0"),
+                 F.lit("-"),
+                 F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+                 F.lit(" now.")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text")
+    )
+
+
+_PII_CTE = """pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com for details.' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' Served from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || ' ok.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' Call +1-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                      || ' now.'
+                 ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the injected-PII corpus: per-doc
+    match counts and the md5 of the redacted text (proves byte-
+    identical redaction cross-engine).  Pure codegen projection —
+    zero shuffle, zero Python."""
+    from .functions.webtext import pii_scrub
+
+    out = pii_scrub(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+QUERIES["pii_scrub_docs"] = q_pii_scrub_docs
+
+# keep the regex literals in sync with functions.webtext PII_*_RE
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}"
+_PII_IPV4_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+ORACLES["pii_scrub_docs"] = f"""
+WITH {_PII_CTE}
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS BIGINT)
+         AS n_email,
+       CAST(length(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS BIGINT)
+         AS n_phone,
+       CAST(length(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS BIGINT)
+         AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+             '{_PII_IPV4_SQL}', '<IP>', 'g')) AS clean_md5
+FROM pii
+"""
+
+
+def q_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection over the dedup
+    corpus: cluster by content fingerprint, keep the highest-quality
+    member (ties -> lowest doc_id; exact-dup clusters tie by
+    construction, so this also gates tie determinism).  One scoring
+    projection + ONE lexicographic max(struct) hash-agg."""
+    from .functions.dedup import keep_best
+    from .functions.text import quality_score
+
+    scored = quality_score(
+        _corpus(spark, sf_dir),
+        keep_cols=(F.md5(F.col("text")).alias("fingerprint"),),
+    )
+    out = keep_best(
+        scored.select("fingerprint", "doc_id", "score_e6"),
+        "fingerprint", "score_e6", min_members=2,
+    )
+    return out.select(
+        "fingerprint", F.col("doc_id").alias("best_id"),
+        "score_e6", "n_members",
+    )
+
+
+QUERIES["keep_best_docs"] = q_keep_best_docs
+
+_QPUNCT_SUM = " + ".join(
+    f"(length(text) - length(replace(text, '{p}', '')))"
+    for p in (".", ",", "!", "?", ";", ":")
+)
+
+ORACLES["keep_best_docs"] = f"""
+WITH {_CORPUS_CTE},
+q AS (
+  SELECT doc_id, md5(text) AS fingerprint,
+         ({_QPUNCT_SUM}) AS n_punct,
+         ({_STOPWORD_HITS}) AS n_stop,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+  FROM corpus
+),
+s AS (
+  SELECT doc_id, fingerprint,
+         CAST(ROUND((0.4e0 * (CASE WHEN n_chars >= 64 AND n_chars <= 100000
+                                   THEN 1.0e0 ELSE 0.0e0 END)
+                     + 0.3e0 * LEAST(1.0e0, 10.0e0 * (CAST(n_punct AS DOUBLE) / n_tokens))
+                     + 0.3e0 * LEAST(1.0e0, 20.0e0 * (CAST(n_stop AS DOUBLE) / n_tokens)))
+                    * 1.0e6) AS BIGINT) AS score_e6
+  FROM q
+),
+sel AS (
+  SELECT fingerprint, doc_id, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint
+                            ORDER BY score_e6 DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n
+  FROM s
+)
+SELECT fingerprint, doc_id AS best_id, score_e6,
+       CAST(n AS BIGINT) AS n_members
+FROM sel WHERE rn = 1 AND n >= 2
+"""

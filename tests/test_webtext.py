@@ -387,3 +387,102 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     want = {r["doc_id"] for r in docs.select("doc_id").collect()} - leaked
     assert got == want
     assert len(leaked) > 0  # the forced leaks were caught
+
+
+class TestPiiScrub:
+    def _one(self, spark, text):
+        from maup_spark.functions.webtext import pii_scrub
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return pii_scrub(df).first()
+
+    def test_email_detected_and_redacted(self, spark):
+        r = self._one(spark, "mail john.doe+x@sub.example.co.uk today")
+        assert r.n_email == 1 and r.n_phone == 0 and r.n_ipv4 == 0
+        assert r.clean_text == "mail <EMAIL> today"
+
+    def test_phone_and_ip(self, spark):
+        r = self._one(spark, "call +1-555-123-4567 or ping 192.168.1.200.")
+        assert r.n_phone == 1 and r.n_ipv4 == 1
+        assert r.clean_text == "call <PHONE> or ping <IP>."
+
+    def test_version_string_not_ip(self, spark):
+        # three dot-separated groups must NOT match the IPv4 pattern
+        r = self._one(spark, "release v1.2.3 is out")
+        assert r.n_ipv4 == 0
+        assert r.clean_text == "release v1.2.3 is out"
+
+    def test_counts_on_original_text(self, spark):
+        # two emails, one of each other class, interleaved
+        r = self._one(spark, "a@b.io c@d.org 8.8.8.8 +44 207 946 0958")
+        assert (r.n_email, r.n_phone, r.n_ipv4) == (2, 1, 1)
+
+    def test_idempotent(self, spark):
+        from maup_spark.functions.webtext import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "x a@b.io 8.8.8.8 +1-555-123-4567 y")],
+            "doc_id long, text string",
+        )
+        once = pii_scrub(df).select(
+            F.col("clean_text").alias("text")
+        )
+        twice = pii_scrub(once).first()
+        assert (twice.n_email, twice.n_phone, twice.n_ipv4) == (0, 0, 0)
+        assert twice.clean_text == "x <EMAIL> <IP> <PHONE> y"
+
+    def test_pii_stats_totals(self, spark):
+        from maup_spark.functions.webtext import pii_stats
+
+        df = spark.createDataFrame(
+            [(1, "a@b.io c@d.org"), (2, "8.8.8.8"), (3, "clean")],
+            "doc_id long, text string",
+        )
+        r = pii_stats(df).first()
+        assert r.total_email == 2 and r.docs_with_email == 1
+        assert r.total_ipv4 == 1 and r.docs_with_ipv4 == 1
+        assert r.total_phone == 0 and r.docs_with_phone == 0
+
+
+class TestKeepBest:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "cluster string, doc_id long, score long"
+        )
+
+    def test_highest_score_wins(self, spark):
+        from maup_spark.functions.dedup import keep_best
+
+        out = keep_best(
+            self._df(spark, [("c", 1, 10), ("c", 2, 30), ("c", 3, 20)]),
+            "cluster", "score",
+        ).first()
+        assert out.doc_id == 2 and out.score == 30 and out.n_members == 3
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        from maup_spark.functions.dedup import keep_best
+
+        out = keep_best(
+            self._df(spark, [("c", 9, 30), ("c", 4, 30), ("c", 7, 30)]),
+            "cluster", "score",
+        ).first()
+        assert out.doc_id == 4
+
+    def test_min_members_filters_singletons(self, spark):
+        from maup_spark.functions.dedup import keep_best
+
+        rows = [("a", 1, 5), ("b", 2, 5), ("b", 3, 6)]
+        out = keep_best(self._df(spark, rows), "cluster", "score",
+                        min_members=2)
+        got = {r.cluster: (r.doc_id, r.n_members) for r in out.collect()}
+        assert got == {"b": (3, 2)}
+
+    def test_deterministic_across_parallelism(self, spark):
+        from maup_spark.functions.dedup import keep_best
+
+        rows = [(f"c{i % 5}", i, (i * 37) % 11) for i in range(200)]
+        a = keep_best(self._df(spark, rows).repartition(1),
+                      "cluster", "score").collect()
+        b = keep_best(self._df(spark, rows).repartition(16),
+                      "cluster", "score").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
