@@ -10,11 +10,14 @@ from .text import (
 )
 from .dedup import (
     exact_dedup,
+    keep_best,
     minhash_lsh_pairs,
     ngram_jaccard,
     simhash_pairs,
     simhash_signatures,
 )
+from .lm import lm_score, lm_train
+from .webtext import pii_scrub, pii_stats
 from .profile import profile_table
 from .similarity import ann_lsh_pairs, cosine_topk, embedding_dedup, ivf_topk
 from .webtext import (
@@ -37,11 +40,16 @@ __all__ = [
     "exact_dedup",
     "host_stats",
     "ivf_topk",
+    "keep_best",
     "lang_id",
     "line_dedup",
+    "lm_score",
+    "lm_train",
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "pack_shards",
+    "pii_scrub",
+    "pii_stats",
     "profile_table",
     "repetition_score",
     "simhash_pairs",

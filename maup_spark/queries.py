@@ -2478,3 +2478,53 @@ SELECT fingerprint, doc_id AS best_id, score_e6,
        CAST(n AS BIGINT) AS n_members
 FROM sel WHERE rn = 1 AND n >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency LM filter (CCNet perplexity-bucket analog, round 5)
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB = 256  # small on purpose: forces genuine OOV mass at sf0.01
+
+
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the bounded-vocab frequency LM on the dedup corpus, score
+    every document, emit the head/middle/tail bucket.  Train = explode
+    + hash-agg + TakeOrderedAndProject; score = broadcast vocab join +
+    one per-doc agg.  Integer-exact end to end (see functions/lm.py)."""
+    from .functions.lm import lm_score, lm_train
+
+    corpus = _corpus(spark, sf_dir)
+    lm = lm_train(corpus, max_vocab=_LM_VOCAB)
+    return lm_score(corpus, lm)
+
+
+QUERIES["lm_familiarity"] = q_lm_familiarity
+
+ORACLES["lm_familiarity"] = f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
+tokn AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+vocab AS (
+  SELECT w, COUNT(*) AS cnt FROM tokn GROUP BY w
+  ORDER BY cnt DESC, w LIMIT {_LM_VOCAB}
+),
+fam AS (SELECT w, CAST(length(bin(cnt)) - 1 AS BIGINT) AS fam FROM vocab),
+sc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN f.fam IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(SUM(COALESCE(f.fam, 0)) AS BIGINT) AS fam_sum
+  FROM tokn t LEFT JOIN fam f ON f.w = t.w
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov, fam_sum,
+       CAST(ROUND(1e6 * fam_sum / n_tokens) AS BIGINT) AS fam_mean_e6,
+       CASE WHEN CAST(ROUND(1e6 * fam_sum / n_tokens) AS BIGINT) >= 4000000
+                 THEN 'head'
+            WHEN CAST(ROUND(1e6 * fam_sum / n_tokens) AS BIGINT) < 2000000
+                 THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM sc
+"""
