@@ -7,6 +7,7 @@ from .text import (
     stratified_sample,
     text_stats,
     token_count,
+    weighted_sample,
 )
 from .dedup import (
     exact_dedup,
@@ -58,5 +59,6 @@ __all__ = [
     "text_stats",
     "token_count",
     "upsample_by_source",
+    "weighted_sample",
     "url_dedup",
 ]

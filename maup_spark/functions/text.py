@@ -261,6 +261,54 @@ def stratified_sample(
     return docs.filter(u < frac)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — k rows
+    with inclusion probability proportional to ``weight_col``
+    (Efraimidis–Spirakis A-Res: rank by key_i = -ln(u_i)/w_i, keep the
+    k smallest; the key is Exp(w_i)-distributed, so the minimum wins a
+    race with probability w_i / sum w — the exact weighted-sampling
+    semantics).
+
+    u_i is the 60-bit md5-derived uniform of ``stratified_sample``
+    (consistent hashing: the same row keeps the same key on a re-run or
+    a grown corpus — only boundary rows change as competitors arrive).
+    No RNG state, no shuffle beyond the distributed top-K:
+    ``orderBy(key, id).limit(k)`` plans TakeOrderedAndProject
+    (per-partition top-k + driver merge of k·n_partitions rows — never
+    a global sort; the bpe_train_merges round-4 lesson).  The ranking
+    key is dropped from the output so cross-engine float comparison
+    happens only through the ORDER (two keys within 1 ulp of each
+    other — probability ~0 for continuous hashes — is the only way
+    engines could disagree, vs the per-value grid-rounding hazard a
+    key column would reintroduce).
+
+    Rows with weight <= 0 are excluded (ln-race semantics need w > 0;
+    u_i = 0 — probability 2^-60 — yields key = +inf: deterministically
+    last in both engines)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col), F.lit(f"#{salt}"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("__k", key)
+        .orderBy("__k", id_col)
+        .limit(k)
+        .drop("__k")
+    )
+
+
 BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
 

@@ -2528,3 +2528,37 @@ SELECT doc_id, n_tokens, n_oov, fam_sum,
             ELSE 'middle' END AS bucket
 FROM sc
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis A-Res, round 5)
+# ---------------------------------------------------------------------------
+
+_WS_K = 200
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-row weighted sample of documents with inclusion probability
+    proportional to doc length (the long-doc-favoring mixture draw).
+    Exp(w) race on md5-derived uniforms; distributed top-K
+    (TakeOrderedAndProject) — no global sort, no RNG state."""
+    from .functions.text import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return weighted_sample(docs, _WS_K, "n_chars")
+
+
+QUERIES["weighted_sample_docs"] = q_weighted_sample_docs
+
+ORACLES["weighted_sample_docs"] = f"""
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         -ln(CAST(concat('0x', substr(md5(doc_id || '#ws'), 1, 15)) AS BIGINT)
+             / 1152921504606846976.0)
+           / CAST(length(text) AS DOUBLE) AS k
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_chars FROM w ORDER BY k, doc_id LIMIT {_WS_K}
+"""
