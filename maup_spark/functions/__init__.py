@@ -59,6 +59,6 @@ __all__ = [
     "text_stats",
     "token_count",
     "upsample_by_source",
-    "weighted_sample",
     "url_dedup",
+    "weighted_sample",
 ]

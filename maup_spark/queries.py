@@ -2562,3 +2562,89 @@ WITH w AS (
 )
 SELECT doc_id, n_chars FROM w ORDER BY k, doc_id LIMIT {_WS_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup capstone: minhash LSH -> connected components -> keep-best
+# (round 5; driver-gates operators/components.py end-to-end via a
+# recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+def q_minhash_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup path in one query: LSH candidate
+    pairs over the dedup corpus -> distributed connected components
+    (min-label propagation + pointer jumping, operators/components.py)
+    -> highest-quality representative per cluster (keep_best
+    lexicographic max-struct agg).  Every stage is the scale shape:
+    banded equi-joins, O(log n)-round label shuffles, one final
+    map-side-combinable agg — no windows, no Python."""
+    from .functions.dedup import keep_best, minhash_lsh_pairs
+    from .functions.text import quality_score
+    from .operators.components import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus)
+    nodes = corpus.select(F.col("doc_id").alias("node"))
+    comp = connected_components(
+        nodes, pairs, src_col="doc_a", dst_col="doc_b"
+    )
+    scored = quality_score(corpus).select("doc_id", "score_e6")
+    clustered = comp.join(
+        scored, comp["node"] == scored["doc_id"]
+    ).select("comp", "doc_id", "score_e6")
+    out = keep_best(clustered, "comp", "score_e6", min_members=2)
+    return out.select(
+        F.col("comp").alias("cluster_id"),
+        F.col("doc_id").alias("best_id"),
+        "score_e6",
+        "n_members",
+    )
+
+
+QUERIES["minhash_cluster_keep_best"] = q_minhash_cluster_keep_best
+
+ORACLES["minhash_cluster_keep_best"] = f"""
+WITH RECURSIVE {_CORPUS_CTE}, {_SHINGLE_CTE}, {_MINHASH_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM corpus
+  UNION
+  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         ({_QPUNCT_SUM}) AS n_punct,
+         ({_STOPWORD_HITS}) AS n_stop,
+         length(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+  FROM corpus
+),
+s AS (
+  SELECT doc_id,
+         CAST(ROUND((0.4e0 * (CASE WHEN n_chars >= 64 AND n_chars <= 100000
+                                   THEN 1.0e0 ELSE 0.0e0 END)
+                     + 0.3e0 * LEAST(1.0e0, 10.0e0 * (CAST(n_punct AS DOUBLE) / n_tokens))
+                     + 0.3e0 * LEAST(1.0e0, 20.0e0 * (CAST(n_stop AS DOUBLE) / n_tokens)))
+                    * 1.0e6) AS BIGINT) AS score_e6
+  FROM q
+),
+cl AS (
+  SELECT c.comp, s.doc_id, s.score_e6
+  FROM comp c JOIN s ON s.doc_id = c.node
+),
+sel AS (
+  SELECT comp, doc_id, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY comp
+                            ORDER BY score_e6 DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY comp) AS n
+  FROM cl
+)
+SELECT comp AS cluster_id, doc_id AS best_id, score_e6,
+       CAST(n AS BIGINT) AS n_members
+FROM sel WHERE rn = 1 AND n >= 2
+"""
