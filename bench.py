@@ -52,6 +52,11 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "url_dedup_pages",
             "contamination_docs",
             "pack_shards_docs",
+            "pii_scrub_docs",
+            "lm_familiarity",
+            "weighted_sample_docs",
+            "keep_best_docs",
+            "minhash_cluster_keep_best",
             "adjacencies_nations",
             "intersections_triangles",
             "intersections_triangles_shuffle",

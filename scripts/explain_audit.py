@@ -185,6 +185,43 @@ CHECKS = {
         ["Python", "HashAggregate", "SortAggregate", "Window",
          "CartesianProduct", "main:Exchange hashpartitioning"],
     ),
+    # PII scrub (round 5): pure codegen projection — regexp counts +
+    # chained replaces; no agg, no join, no window, no Python
+    "pii_scrub_docs": (
+        [],
+        ["Python", "HashAggregate", "SortAggregate", "Window",
+         "CartesianProduct", "Join"],
+    ),
+    # keep-best representative selection: ONE max(struct) aggregation.
+    # Struct max plans as SortAggregate (struct isn't hash-buffer
+    # eligible) but partial_max combines MAP-SIDE — a corpus-wide hot
+    # cluster collapses per input partition before the exchange; the
+    # banned shape is the per-key Window
+    "keep_best_docs": (
+        ["partial_max"],
+        ["Python", "Window", "CartesianProduct", "Join"],
+    ),
+    # corpus-frequency LM (round 5): train = word hash-agg + distributed
+    # top-K (TakeOrderedAndProject, never a global-sort/window rank);
+    # score = BROADCAST vocab join + one per-doc hash-agg
+    "lm_familiarity": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
+        ["Python", "Window", "CartesianProduct", "SortAggregate",
+         "SortMergeJoin"],
+    ),
+    # A-Res weighted sampling: a projection + distributed top-K — no
+    # agg, no join, no window, no RNG exchange of any kind
+    "weighted_sample_docs": (
+        ["TakeOrderedAndProject"],
+        ["Python", "Window", "CartesianProduct", "HashAggregate",
+         "SortAggregate", "Join"],
+    ),
+    # near-dup capstone (LSH pairs -> connected components ->
+    # keep_best): band equi-joins + label-propagation hash joins only
+    "minhash_cluster_keep_best": (
+        [],
+        ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
