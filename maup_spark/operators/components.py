@@ -44,6 +44,21 @@ def connected_components(
     )
     e = e.localCheckpoint(eager=False)
 
+    # Convergence probe: labels are MONOTONE NON-INCREASING per node
+    # (min over the closed neighborhood, then comp[comp] <= comp), so
+    # the exact label sum strictly decreases iff any label changed.
+    # One scalar aggregate per round replaces the former full
+    # new-vs-old shuffle join + count — at 10^9 nodes that join was
+    # the most expensive stage of every round and existed only for
+    # convergence detection.  decimal(38,0) keeps the sum exact at any
+    # node count (double would alias small changes; bigint overflows
+    # at ~10^12 rows x 10^13 ids).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
     for _ in range(max_iter):
         nb = (
             e.join(lab.withColumnRenamed("node", "src"), "src")
@@ -64,21 +79,17 @@ def connected_components(
             .select("node", F.coalesce("__jc", "comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new.withColumnRenamed("comp", "__new")
-            .join(lab, "node")
-            .filter(F.col("__new") != F.col("comp"))
-            .count()
-        )
+        cur_sum = _label_sum(new)
         lab = new
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # unconverged labels would silently split one component across two
         # group keys downstream (per-component repair would then leave
         # cross-group overlaps unresolved) — fail loudly instead
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still changing); raise max_iter"
+            f"iterations (label sum still decreasing); raise max_iter"
         )
     return lab

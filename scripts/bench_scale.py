@@ -52,6 +52,16 @@ DOC_QUERIES = [
     # token-stream sharding (two-level prefix scan; 64-doc blocks at
     # sf scale become 10^6-doc blocks in production — same plan)
     "pack_shards_docs",
+    # round-5 additions: PII scrub (pure projection), corpus-frequency
+    # LM train+score (hash-agg + top-K + broadcast join), A-Res
+    # weighted sampling (distributed top-K), keep-best representative
+    # selection (partial_max agg), and the LSH->components->keep_best
+    # capstone (label propagation over the real candidate graph)
+    "pii_scrub_docs",
+    "lm_familiarity",
+    "weighted_sample_docs",
+    "keep_best_docs",
+    "minhash_cluster_keep_best",
 ]
 
 
