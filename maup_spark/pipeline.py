@@ -29,6 +29,8 @@ def training_data_pipeline(
     max_dup_frac: float = 0.9,
     decontaminate_tau: float = 0.5,
     mixture_weights: dict | None = None,
+    scrub_pii: bool = False,
+    near_policy: str = "min_id",
 ) -> dict[str, DataFrame]:
     """Returns {stage: DataFrame} for the checkpointed stages; the final
     ``district_rollup`` is per-district clean-document character mass.
@@ -40,7 +42,16 @@ def training_data_pipeline(
     ``decontaminate_tau`` drops docs whose distinct-8-gram overlap with
     the benchmark slice reaches the threshold; ``mixture_weights`` are
     the per-source temperature-upsampling weights of the final mix
-    (``{}`` = keep everything once)."""
+    (``{}`` = keep everything once).
+
+    ``scrub_pii`` inserts the email/phone/IPv4 redaction stage (pure
+    codegen projection) between extraction and the quality gate — the
+    C4/Dolma placement, so downstream fingerprints/dedup see the
+    redacted text.  ``near_policy`` picks the near-dup survivor:
+    ``"min_id"`` (drop every doc_b of a candidate pair — cheap, order
+    bias) or ``"keep_best"`` (RefinedWeb policy: connected components
+    over the candidate graph, keep the highest-quality member per
+    cluster via the ``keep_best`` max-struct agg)."""
     from . import datagen as D
     from .functions.dedup import exact_dedup, minhash_lsh_pairs, substring_dedup
     from .functions.multimodal import extract_text, pages
@@ -62,16 +73,35 @@ def training_data_pipeline(
         ).select("doc_id", F.col("extracted_text").alias("text"))
 
     docs = out["docs"] = runner.run_stage("docs", build_docs)
+    clean_input, clean_deps = docs, ["docs"]
+
+    # 1b. optional PII redaction (C4/Dolma placement: before any
+    #     fingerprint/dedup stage so duplicates of a page differing
+    #     only in injected PII collapse to one redacted form)
+    if scrub_pii:
+        def build_pii():
+            from .functions.webtext import pii_scrub
+
+            return pii_scrub(docs).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+
+        clean_input = out["pii_scrub"] = runner.run_stage(
+            "pii_scrub", build_pii, inputs=["docs"]
+        )
+        clean_deps = ["pii_scrub"]
 
     # 2. quality gate
     def build_clean():
-        q = quality_score(docs)
-        return docs.join(
+        q = quality_score(clean_input)
+        return clean_input.join(
             q.filter(F.col("score_e6") >= min_quality_e6).select("doc_id"),
             "doc_id",
         )
 
-    clean = out["clean"] = runner.run_stage("clean", build_clean, inputs=["docs"])
+    clean = out["clean"] = runner.run_stage(
+        "clean", build_clean, inputs=clean_deps
+    )
 
     # 3. exact dedup: drop non-canonical members of duplicate groups
     def build_exact():
@@ -95,6 +125,26 @@ def training_data_pipeline(
     #    production crawl always runs the guard.
     def build_near():
         pairs = minhash_lsh_pairs(deduped, max_bucket=10_000)
+        if near_policy == "keep_best":
+            # RefinedWeb survivor policy: cluster the candidate graph
+            # (components converge in O(log n) label rounds) and keep
+            # the highest-quality member per cluster — singletons keep
+            # themselves (min_members=1), ties break to the lowest id
+            from .functions.dedup import keep_best
+            from .operators.components import connected_components
+
+            comp = connected_components(
+                deduped.select(F.col("doc_id").alias("node")),
+                pairs,
+                src_col="doc_a",
+                dst_col="doc_b",
+            )
+            scored = quality_score(deduped).select("doc_id", "score_e6")
+            clustered = comp.join(
+                scored, comp["node"] == scored["doc_id"]
+            ).select("comp", "doc_id", "score_e6")
+            best = keep_best(clustered, "comp", "score_e6")
+            return deduped.join(best.select("doc_id"), "doc_id")
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         return deduped.join(losers, "doc_id", "left_anti")
 

@@ -101,3 +101,58 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
         "decontaminate", "assign", "district_rollup", "profile", "mixture",
         "pack",
     }
+
+
+def test_pipeline_pii_and_keep_best_policy(spark, sf_dir, tmp_path):
+    """Round-5 policy surface: the optional PII-redaction stage slots in
+    before the quality gate, and near_policy='keep_best' ships exactly
+    the highest-quality member of every LSH candidate cluster (verified
+    against an independent union-find over the same pair set)."""
+    from maup_spark.functions.dedup import minhash_lsh_pairs
+    from maup_spark.functions.text import quality_score
+    from maup_spark.functions.webtext import pii_scrub
+
+    run_dir = str(tmp_path / "run_kb")
+    out = training_data_pipeline(
+        spark, sf_dir, run_dir, mixture_weights={},
+        scrub_pii=True, near_policy="keep_best",
+    )
+
+    # PII stage is checkpointed and byte-equal to pii_scrub(docs)
+    want = pii_scrub(out["docs"]).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    got = out["pii_scrub"].select("doc_id", "text")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # survivors: independent union-find over the SAME candidate pairs
+    deduped = out["deduped"]
+    pairs = minhash_lsh_pairs(deduped, max_bucket=10_000).collect()
+    scores = {
+        r.doc_id: r.score_e6
+        for r in quality_score(deduped).select("doc_id", "score_e6").collect()
+    }
+    parent = {d: d for d in scores}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.doc_a), find(p.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for d in scores:
+        clusters.setdefault(find(d), []).append(d)
+    expected = {
+        min(members, key=lambda d: (-scores[d], d))
+        for members in clusters.values()
+    }
+    surviving = {r.doc_id for r in out["surviving"].select("doc_id").collect()}
+    assert surviving == expected
+    # exactly one survivor per cluster, and clusters actually merged
+    assert len(surviving) == len(clusters) < len(scores)
