@@ -486,3 +486,48 @@ class TestKeepBest:
         b = keep_best(self._df(spark, rows).repartition(16),
                       "cluster", "score").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """The PII scrub is stateless, so the batch operator composes
+    directly onto the stream: file-sink output must be byte-equal to
+    the batch scrub of the same rows."""
+    from maup_spark.functions.webtext import pii_scrub
+    from maup_spark.streaming.pii_stream import streaming_pii_scrub
+
+    docs = spark.range(120).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0"
+        "  THEN 'mail u' || CAST(id AS STRING) || '@ex.com or 10.0.0.'"
+        "       || CAST(id % 256 AS STRING)"
+        "  ELSE 'clean row ' || CAST(id AS STRING)"
+        " END AS text",
+    )
+    src = str(tmp_path / "piisrc")
+    docs.repartition(5).write.parquet(src)
+
+    q = streaming_pii_scrub(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "piickpt"),
+        output_dir=str(tmp_path / "piiout"),
+    )
+    q.awaitTermination(240)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "piiout")).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            pii_scrub(docs)
+            .select(
+                "doc_id",
+                F.col("clean_text").alias("text"),
+                "n_email", "n_phone", "n_ipv4",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    assert any(r[2] > 0 for r in got)  # the injected emails were caught
