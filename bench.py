@@ -55,6 +55,7 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "pii_scrub_docs",
             "lm_familiarity",
             "weighted_sample_docs",
+            "dsir_select_docs",
             "keep_best_docs",
             "minhash_cluster_keep_best",
             "adjacencies_nations",

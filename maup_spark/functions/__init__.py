@@ -17,6 +17,7 @@ from .dedup import (
     simhash_pairs,
     simhash_signatures,
 )
+from .dsir import dsir_ratio, dsir_score, dsir_select, hashed_gram_counts
 from .lm import lm_score, lm_train
 from .webtext import pii_scrub, pii_stats
 from .profile import profile_table
@@ -37,7 +38,11 @@ __all__ = [
     "contamination_check",
     "cosine_topk",
     "doc_fingerprint",
+    "dsir_ratio",
+    "dsir_score",
+    "dsir_select",
     "embedding_dedup",
+    "hashed_gram_counts",
     "exact_dedup",
     "host_stats",
     "ivf_topk",

@@ -1,0 +1,148 @@
+"""DSIR-style importance resampling for pretraining-data selection
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023 — public paper), rebuilt cross-engine-exact.
+
+DSIR fits bag-of-hashed-n-gram unigram models on a small TARGET corpus
+(the distribution you want more of — wiki/books/curated text) and on
+the RAW crawl, then scores every raw document by its importance ratio
+
+    log p_target(x) - log p_raw(x)
+      = sum over hashed-gram occurrences b in x of (log p_b - log q_b)
+
+and keeps a sample biased toward high-ratio (target-like) documents.
+Features are whitespace unigrams + bigrams hashed into a fixed bucket
+space, exactly as in the paper.
+
+Integer-exact variant (the functions/lm.py lesson: float log sums are
+summation-order-dependent, so cross-engine/partition-order hashes
+drift): replace ``log cnt`` with the integer familiarity
+
+    fam(cnt) = floor(log2(cnt + 1)) = length(bin(cnt + 1)) - 1
+
+(+1 is the add-one smoothing that keeps empty buckets finite), so
+
+    score(doc) = sum over gram occurrences of (fam_p[b] - fam_q[b])
+
+is an exact BIGINT — bit-identical at any parallelism and mirrored
+token-for-token by a DuckDB oracle (``bin`` emits the minimal binary
+string in both engines).  The monotone map cnt -> floor(log2(cnt+1))
+preserves the target-like-vs-junk ordering DSIR selects on; only the
+absolute scale differs from the float log-ratio.
+
+Scale design (10^12 raw docs, 10^5-10^7 target docs):
+- ``hashed_gram_counts``: explode unigrams+bigrams -> 48-bit-md5
+  bucket -> ONE map-side-combinable hash aggregation over at most
+  ``n_buckets`` distinct keys (a corpus-wide hot bucket is absorbed by
+  partial combine — never a per-key window).
+- ``dsir_ratio``: the (target, raw) count tables are each at most
+  ``n_buckets`` rows by construction — the full-outer join runs on
+  bounded inputs and the ratio table BROADCASTS downstream.
+- ``dsir_score``: explode -> broadcast ratio join -> one per-doc
+  map-side-combinable aggregation.  Zero windows, zero Python, and the
+  only unbounded shuffle is keyed by doc_id (no hot key exists).
+- ``dsir_select``: ``orderBy(score DESC, id).limit(k)`` ->
+  TakeOrderedAndProject (per-partition top-K + driver merge — never a
+  single-partition global sort), deterministic tie-break on id.
+
+No reference counterpart (maup is geometry-only,
+/root/reference/maup/__init__.py:28-45); this is part of the
+training-data-pipeline surface the web-scale graft requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .webtext import _word_grams
+
+DEFAULT_BUCKETS = 8192
+
+
+def _grams12(text_col) -> "F.Column":
+    """Unigram + bigram features over the repo-wide whitespace-token
+    grammar (``_word_grams``: split on ' ', short-doc guard)."""
+    return F.concat(_word_grams(text_col, 1), _word_grams(text_col, 2))
+
+
+def _bucket(gram_col, n_buckets: int) -> "F.Column":
+    """48-bit md5-prefix hash bucket — the repo's consistent-hash idiom
+    (DuckDB mirror: ``CAST(concat('0x', substr(md5(g),1,12)) AS
+    BIGINT) % n_buckets``); 12 hex digits < 2^48 so the BIGINT is
+    always non-negative and ``%`` agrees across engines."""
+    return (
+        F.conv(F.substring(F.md5(gram_col), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _fam(cnt_col) -> "F.Column":
+    """floor(log2(cnt + 1)) as an exact BIGINT; cnt NULL -> fam(0) = 0."""
+    return (
+        F.length(F.bin(F.coalesce(cnt_col, F.lit(0)) + F.lit(1))) - 1
+    ).cast("long")
+
+
+def hashed_gram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """DataFrame[bucket, cnt] — hashed unigram+bigram occurrence counts
+    of a corpus, at most ``n_buckets`` rows (broadcastable downstream).
+
+    ONE explode + map-side-combinable hash-agg; the bounded key space
+    means even a degenerate single-gram corpus cannot create a task-
+    serializing hot key (partial combine collapses it per partition)."""
+    grams = docs.select(F.explode(_grams12(F.col(text_col))).alias("gram"))
+    return (
+        grams.select(_bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_ratio(target_counts: DataFrame, raw_counts: DataFrame) -> DataFrame:
+    """DataFrame[bucket, w] — the integer log-ratio table
+    ``w = fam(cnt_target) - fam(cnt_raw)`` over the union of buckets.
+
+    Both inputs are ``hashed_gram_counts`` outputs (<= n_buckets rows),
+    so the full-outer join is bounded and the result broadcasts."""
+    p = target_counts.select("bucket", F.col("cnt").alias("cnt_p"))
+    q = raw_counts.select("bucket", F.col("cnt").alias("cnt_q"))
+    return p.join(q, "bucket", "full_outer").select(
+        "bucket", (_fam(F.col("cnt_p")) - _fam(F.col("cnt_q"))).alias("w")
+    )
+
+
+def dsir_score(
+    raw_docs: DataFrame,
+    ratio: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DataFrame[id_col, n_grams, score] — per-document integer
+    importance score under a ``dsir_ratio`` table built with the SAME
+    ``n_buckets``.  Explode -> BROADCAST ratio join -> one per-doc
+    aggregation; every document emits a row (the unigram list is
+    non-empty even for empty text under the split-on-space grammar)."""
+    grams = raw_docs.select(
+        F.col(id_col), F.explode(_grams12(F.col(text_col))).alias("gram")
+    )
+    bucketed = grams.select(
+        id_col, _bucket(F.col("gram"), n_buckets).alias("bucket")
+    )
+    j = bucketed.join(F.broadcast(ratio), "bucket", "left")
+    return j.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("score"),
+    )
+
+
+def dsir_select(
+    scored: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` most target-like documents, ties broken by lowest id —
+    deterministic at any parallelism (TakeOrderedAndProject)."""
+    return scored.orderBy(F.desc("score"), id_col).limit(k)

@@ -81,7 +81,11 @@ def connected_components(
         )
         cur_sum = _label_sum(new)
         lab = new
-        if prev_sum is not None and cur_sum == prev_sum:
+        # cur_sum is None iff the label table has ZERO rows (sum over
+        # empty = NULL): an empty graph is trivially converged — without
+        # this, None == None never satisfies the not-None guard and an
+        # empty input burns all max_iter rounds before failing
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break
         prev_sum = cur_sum
     else:

@@ -2648,3 +2648,95 @@ SELECT comp AS cluster_id, doc_id AS best_id, score_e6,
        CAST(n AS BIGINT) AS n_members
 FROM sel WHERE rn = 1 AND n >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023 analog, round 5)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_K = 150
+
+
+def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: every 17th document is the 'curated target'
+    slice, the rest are the raw crawl; hashed unigram+bigram models on
+    both, integer importance score per raw doc, top-150 most
+    target-like selected.  Two bounded hash-aggs + broadcast ratio
+    join + per-doc agg + TakeOrderedAndProject — zero windows, zero
+    Python (see functions/dsir.py)."""
+    from .functions.dsir import (
+        dsir_ratio,
+        dsir_score,
+        dsir_select,
+        hashed_gram_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    raw = docs.filter(F.col("doc_id") % 17 != 0)
+    ratio = dsir_ratio(
+        hashed_gram_counts(target, n_buckets=_DSIR_BUCKETS),
+        hashed_gram_counts(raw, n_buckets=_DSIR_BUCKETS),
+    )
+    scored = dsir_score(raw, ratio, n_buckets=_DSIR_BUCKETS)
+    return dsir_select(scored, _DSIR_K).select("doc_id", "n_grams", "score")
+
+
+QUERIES["dsir_select_docs"] = q_dsir_select_docs
+
+# Mirrors functions/dsir.py gram-for-gram: unigram+bigram lists over
+# split-on-space tokens (short-doc guard via greatest(.,0)), 48-bit
+# md5-prefix bucket, fam = length(bin(cnt+1))-1, full-outer ratio,
+# left-join score, top-K ordered by (score DESC, doc_id).
+ORACLES["dsir_select_docs"] = f"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+tg AS (
+  SELECT UNNEST(
+    list_transform(range(0, greatest(len(t) - 1 + 1, 0)),
+                   i -> array_to_string(t[i+1:i+1], ' '))
+    || list_transform(range(0, greatest(len(t) - 2 + 1, 0)),
+                      i -> array_to_string(t[i+1:i+2], ' '))
+  ) AS gram
+  FROM (SELECT string_split(text, ' ') AS t FROM tgt)
+),
+rg AS (
+  SELECT doc_id, UNNEST(
+    list_transform(range(0, greatest(len(t) - 1 + 1, 0)),
+                   i -> array_to_string(t[i+1:i+1], ' '))
+    || list_transform(range(0, greatest(len(t) - 2 + 1, 0)),
+                      i -> array_to_string(t[i+1:i+2], ' '))
+  ) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM raw)
+),
+tc AS (
+  SELECT CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS bucket,
+         COUNT(*) AS cnt_p
+  FROM tg GROUP BY 1
+),
+rb AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS bucket
+  FROM rg
+),
+rc AS (SELECT bucket, COUNT(*) AS cnt_q FROM rb GROUP BY bucket),
+ratio AS (
+  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+         (CAST(length(bin(COALESCE(cnt_p, 0) + 1)) - 1 AS BIGINT)
+          - CAST(length(bin(COALESCE(cnt_q, 0) + 1)) - 1 AS BIGINT)) AS w
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(w, 0)) AS BIGINT) AS score
+  FROM rb LEFT JOIN ratio USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, score FROM sc
+ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
+"""

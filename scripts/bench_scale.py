@@ -62,6 +62,9 @@ DOC_QUERIES = [
     "weighted_sample_docs",
     "keep_best_docs",
     "minhash_cluster_keep_best",
+    # DSIR importance resampling (hashed-gram models + broadcast ratio
+    # join + distributed top-K)
+    "dsir_select_docs",
 ]
 
 

@@ -222,6 +222,15 @@ CHECKS = {
         [],
         ["Python", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # DSIR importance resampling (round 5): two bounded hashed-gram
+    # hash-aggs, BROADCAST ratio join on the scoring path, per-doc
+    # hash-agg, distributed top-K — never a window or a global sort.
+    # (The bounded <=n_buckets-row ratio build may plan a tiny SMJ; the
+    # unbounded scoring path must broadcast.)
+    "dsir_select_docs": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
+        ["Python", "Window", "CartesianProduct", "SortAggregate"],
+    ),
 }
 
 

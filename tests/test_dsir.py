@@ -1,0 +1,152 @@
+"""DSIR importance resampling (functions/dsir.py): bounded hashed
+counts, exact parity with a local Python replica of the integer score
+math, target-lift ordering, deterministic selection, and plan shape."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from maup_spark.functions.dsir import (
+    dsir_ratio,
+    dsir_score,
+    dsir_select,
+    hashed_gram_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_grams12(text):
+    toks = text.split(" ")
+    grams = list(toks)
+    if len(toks) >= 2:
+        grams += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    return grams
+
+
+def _py_bucket(gram, n_buckets):
+    return int(hashlib.md5(gram.encode()).hexdigest()[:12], 16) % n_buckets
+
+
+def _py_fam(cnt):
+    return int(math.floor(math.log2(cnt + 1)))
+
+
+class TestHashedGramCounts:
+    def test_bounded_and_total(self, spark):
+        docs = _docs(spark, [(i, f"tok{i} tok{i % 3} common") for i in range(50)])
+        out = hashed_gram_counts(docs, n_buckets=16).collect()
+        assert len(out) <= 16
+        # every doc has 3 unigrams + 2 bigrams = 5 grams
+        assert sum(r.cnt for r in out) == 50 * 5
+        assert all(0 <= r.bucket < 16 for r in out)
+
+    def test_matches_python_replica(self, spark):
+        rows = [(1, "a b c"), (2, "a a"), (3, "xyz")]
+        out = {
+            r.bucket: r.cnt
+            for r in hashed_gram_counts(_docs(spark, rows), n_buckets=64).collect()
+        }
+        want = {}
+        for _, text in rows:
+            for g in _py_grams12(text):
+                b = _py_bucket(g, 64)
+                want[b] = want.get(b, 0) + 1
+        assert out == want
+
+
+class TestDsirScore:
+    def test_exact_python_parity(self, spark):
+        """End-to-end score equals the closed-form local replica."""
+        target_rows = [(100, "the quick fox"), (101, "the lazy dog")]
+        raw_rows = [
+            (1, "the quick fox jumps"),
+            (2, "zzz qqq www"),
+            (3, "the the the"),
+        ]
+        B = 128
+        target, raw = _docs(spark, target_rows), _docs(spark, raw_rows)
+        ratio = dsir_ratio(
+            hashed_gram_counts(target, n_buckets=B),
+            hashed_gram_counts(raw, n_buckets=B),
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.score)
+            for r in dsir_score(raw, ratio, n_buckets=B).collect()
+        }
+
+        cp, cq = {}, {}
+        for _, text in target_rows:
+            for g in _py_grams12(text):
+                b = _py_bucket(g, B)
+                cp[b] = cp.get(b, 0) + 1
+        for _, text in raw_rows:
+            for g in _py_grams12(text):
+                b = _py_bucket(g, B)
+                cq[b] = cq.get(b, 0) + 1
+        want = {}
+        for did, text in raw_rows:
+            grams = _py_grams12(text)
+            s = sum(
+                _py_fam(cp.get(_py_bucket(g, B), 0))
+                - _py_fam(cq.get(_py_bucket(g, B), 0))
+                for g in grams
+            )
+            want[did] = (len(grams), s)
+        assert got == want
+
+    def test_target_lift(self, spark):
+        """A raw doc sharing the target's grams outscores a disjoint one."""
+        target = _docs(spark, [(9, "alpha beta gamma delta")])
+        raw = _docs(
+            spark,
+            [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        )
+        ratio = dsir_ratio(
+            hashed_gram_counts(target, n_buckets=256),
+            hashed_gram_counts(raw, n_buckets=256),
+        )
+        got = {r.doc_id: r.score for r in dsir_score(raw, ratio, n_buckets=256).collect()}
+        assert got[1] > got[2]
+
+    def test_every_doc_scores(self, spark):
+        """Empty / single-token docs still emit a row (unigram grammar)."""
+        raw = _docs(spark, [(1, ""), (2, "solo")])
+        ratio = dsir_ratio(
+            hashed_gram_counts(_docs(spark, [(9, "x")]), n_buckets=32),
+            hashed_gram_counts(raw, n_buckets=32),
+        )
+        out = dsir_score(raw, ratio, n_buckets=32).collect()
+        assert {r.doc_id for r in out} == {1, 2}
+
+
+class TestDsirSelect:
+    def test_deterministic_tiebreak(self, spark):
+        scored = spark.createDataFrame(
+            [(3, 5, 10), (1, 5, 10), (2, 5, 10), (4, 5, 99)],
+            "doc_id long, n_grams long, score long",
+        )
+        got = [r.doc_id for r in dsir_select(scored, 3).collect()]
+        assert got == [4, 1, 2]
+
+
+class TestPlanShape:
+    def test_broadcast_ratio_no_window(self, spark):
+        docs = _docs(spark, [(i, f"w{i} w{i % 5}") for i in range(20)])
+        target = docs.filter(F.col("doc_id") % 4 == 0)
+        ratio = dsir_ratio(
+            hashed_gram_counts(target, n_buckets=64),
+            hashed_gram_counts(docs, n_buckets=64),
+        )
+        plan = (
+            dsir_select(dsir_score(docs, ratio, n_buckets=64), 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan

@@ -122,3 +122,16 @@ def test_shapefile_empty_layer(spark, tmp_path):
     path = str(tmp_path / "empty.zip")
     write_shapefile_zip(path, [])
     assert read_shapefile_zip(spark, path).count() == 0
+
+
+def test_components_empty_converges_first_round(spark):
+    """Empty graph: the label-sum convergence probe sees NULL (sum over
+    zero rows) — must break immediately, not burn max_iter rounds (the
+    round-5 regression: None == None never satisfied the not-None
+    guard, so empty inputs ran 50 slow rounds then raised)."""
+    from maup_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    # max_iter=1: converging on the first round is the contract
+    assert connected_components(nodes, edges, max_iter=1).count() == 0
