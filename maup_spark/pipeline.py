@@ -31,6 +31,7 @@ def training_data_pipeline(
     mixture_weights: dict | None = None,
     scrub_pii: bool = False,
     near_policy: str = "min_id",
+    dsir: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {stage: DataFrame} for the checkpointed stages; the final
     ``district_rollup`` is per-district clean-document character mass.
@@ -51,7 +52,15 @@ def training_data_pipeline(
     ``"min_id"`` (drop every doc_b of a candidate pair — cheap, order
     bias) or ``"keep_best"`` (RefinedWeb policy: connected components
     over the candidate graph, keep the highest-quality member per
-    cluster via the ``keep_best`` max-struct agg)."""
+    cluster via the ``keep_best`` max-struct agg).
+
+    ``dsir`` (optional) inserts DSIR importance selection between
+    decontamination and assignment (the data-selection placement):
+    ``{"target_mod": 17, "min_score": -10}`` keeps docs whose integer
+    importance score vs the ``doc_id % target_mod == 0`` curated-target
+    slice clears ``min_score``; optional ``"n_buckets"`` (default 4096)
+    and ``"hash_fn"`` ("md5" portable / "xxhash64" production,
+    default)."""
     from . import datagen as D
     from .functions.dedup import exact_dedup, minhash_lsh_pairs, substring_dedup
     from .functions.multimodal import extract_text, pages
@@ -187,6 +196,37 @@ def training_data_pipeline(
     final = out["final"] = runner.run_stage(
         "decontaminate", build_decon, inputs=["substr_dedup"]
     )
+
+    # 4d. optional DSIR importance selection: keep docs whose hashed-
+    #     unigram+bigram importance score vs the curated-target slice
+    #     clears the threshold (threshold, not top-K: survival must
+    #     not depend on what else is in the batch).  Static bounded
+    #     models -> broadcast ratio join -> per-doc agg; the target
+    #     slice itself stays in the corpus (it IS the curated data).
+    if dsir is not None:
+        from .functions.dsir import dsir_ratio, dsir_score, hashed_gram_counts
+
+        d_mod = dsir.get("target_mod", 17)
+        d_min = dsir["min_score"]
+        d_b = dsir.get("n_buckets", 4096)
+        d_h = dsir.get("hash_fn", "xxhash64")
+
+        def build_dsir():
+            target = final.filter(F.col("doc_id") % d_mod == 0)
+            ratio = dsir_ratio(
+                hashed_gram_counts(target, n_buckets=d_b, hash_fn=d_h),
+                hashed_gram_counts(final, n_buckets=d_b, hash_fn=d_h),
+            )
+            keep = (
+                dsir_score(final, ratio, n_buckets=d_b, hash_fn=d_h)
+                .filter(F.col("score") >= d_min)
+                .select("doc_id")
+            )
+            return final.join(keep, "doc_id", "left_semi")
+
+        final = out["final"] = runner.run_stage(
+            "dsir_select", build_dsir, inputs=["decontaminate"]
+        )
 
     # 5. entity points of surviving docs → district assignment
     def build_assigned():

@@ -135,9 +135,33 @@ def _extra_stages(spark, sf_dir):
             docs, {"crawl-0": 4.0, "crawl-1": 0.25}, default_weight=1.0
         )
 
+    def dsir_select_xxhash(spark, sf_dir):
+        # DSIR production hash: xxhash64 bucket (one codegen intrinsic)
+        # instead of the oracle-portable md5-hex+conv chain — same plan
+        # shape, same bounded models, different (Spark-only) hash
+        from maup_spark.functions.dsir import (
+            dsir_ratio,
+            dsir_score,
+            dsir_select,
+            hashed_gram_counts,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        target = docs.filter(F.col("doc_id") % 17 == 0)
+        raw = docs.filter(F.col("doc_id") % 17 != 0)
+        B, H = 4096, "xxhash64"
+        ratio = dsir_ratio(
+            hashed_gram_counts(target, n_buckets=B, hash_fn=H),
+            hashed_gram_counts(raw, n_buckets=B, hash_fn=H),
+        )
+        return dsir_select(dsir_score(raw, ratio, n_buckets=B, hash_fn=H), 150)
+
     return {
         "simhash_pairs_64": simhash_pairs_64,
         "embedding_dedup_lsh": embedding_dedup_lsh,
+        "dsir_select_xxhash": dsir_select_xxhash,
         "minhash_lsh_capped": minhash_lsh_capped,
         "substring_dedup_hotgram": substring_dedup_hotgram,
         "url_dedup_hot": url_dedup_hot,

@@ -150,3 +150,77 @@ class TestPlanShape:
         assert "BroadcastHashJoin" in plan
         assert "TakeOrderedAndProject" in plan
         assert "Window" not in plan
+
+
+def test_streaming_dsir_filter_matches_batch(spark, tmp_path):
+    """Streaming DSIR (stateless foreachBatch over a static ratio
+    table): surviving doc set equals the batch score-and-threshold,
+    independent of micro-batch boundaries."""
+    from maup_spark.streaming.dsir_stream import streaming_dsir_filter
+
+    target = spark.createDataFrame(
+        [(10_000, "alpha beta gamma delta"), (10_001, "alpha beta quick fox")],
+        "doc_id long, text string",
+    )
+    docs = spark.range(120).selectExpr(
+        "id AS doc_id",
+        "timestamp_seconds(1704067200 + id * 60) AS ts",
+        "CASE WHEN id % 5 = 0"
+        "  THEN 'alpha beta gamma tail-' || CAST(id AS STRING)"
+        "  ELSE 'junk' || CAST(id AS STRING) || ' noise words here'"
+        " END AS text",
+    )
+    B = 512
+    ratio = dsir_ratio(
+        hashed_gram_counts(target, n_buckets=B),
+        hashed_gram_counts(docs.select("doc_id", "text"), n_buckets=B),
+    )
+    src = str(tmp_path / "dsirsrc")
+    docs.repartition(4).write.parquet(src)
+
+    q = streaming_dsir_filter(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "dsirckpt"),
+        output_dir=str(tmp_path / "dsirout"),
+        ratio=ratio,
+        min_score=-25,
+        n_buckets=B,
+    )
+    q.awaitTermination(240)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "dsirout"))
+        .select("doc_id")
+        .collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in dsir_score(docs.select("doc_id", "text"), ratio, n_buckets=B)
+        .filter(F.col("score") >= -25)
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(want) < 120  # the threshold genuinely splits the stream
+
+
+def test_xxhash_production_path(spark):
+    """hash_fn="xxhash64" (the Spark-only production hash) keeps the
+    schema, bounded buckets, and target-lift ordering of the md5
+    oracle config."""
+    target = _docs(spark, [(9, "alpha beta gamma delta")])
+    raw = _docs(
+        spark, [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")]
+    )
+    counts = hashed_gram_counts(raw, n_buckets=64, hash_fn="xxhash64")
+    rows = counts.collect()
+    assert len(rows) <= 64 and all(0 <= r.bucket < 64 for r in rows)
+    ratio = dsir_ratio(
+        hashed_gram_counts(target, n_buckets=256, hash_fn="xxhash64"),
+        hashed_gram_counts(raw, n_buckets=256, hash_fn="xxhash64"),
+    )
+    scored = dsir_score(raw, ratio, n_buckets=256, hash_fn="xxhash64")
+    assert [f.name for f in scored.schema.fields] == ["doc_id", "n_grams", "score"]
+    got = {r.doc_id: r.score for r in scored.collect()}
+    assert got[1] > got[2]

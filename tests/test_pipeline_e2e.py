@@ -156,3 +156,39 @@ def test_pipeline_pii_and_keep_best_policy(spark, sf_dir, tmp_path):
     assert surviving == expected
     # exactly one survivor per cluster, and clusters actually merged
     assert len(surviving) == len(clusters) < len(scores)
+
+
+def test_pipeline_dsir_stage(spark, sf_dir, tmp_path):
+    """Round-5 DSIR policy: the optional importance-selection stage
+    slots in after decontamination; survivors equal an independent
+    batch score-and-threshold over the decontaminated set, and the
+    threshold genuinely drops something."""
+    from maup_spark.functions.dsir import (
+        dsir_ratio,
+        dsir_score,
+        hashed_gram_counts,
+    )
+
+    run_dir = str(tmp_path / "run_dsir")
+    cfg = {"target_mod": 17, "min_score": -400, "n_buckets": 512,
+           "hash_fn": "xxhash64"}
+    out = training_data_pipeline(
+        spark, sf_dir, run_dir, mixture_weights={}, dsir=cfg,
+    )
+
+    decon = spark.read.parquet(f"{run_dir}/decontaminate")
+    target = decon.filter(F.col("doc_id") % 17 == 0)
+    ratio = dsir_ratio(
+        hashed_gram_counts(target, n_buckets=512, hash_fn="xxhash64"),
+        hashed_gram_counts(decon, n_buckets=512, hash_fn="xxhash64"),
+    )
+    want = {
+        r.doc_id
+        for r in dsir_score(decon, ratio, n_buckets=512, hash_fn="xxhash64")
+        .filter(F.col("score") >= -400)
+        .collect()
+    }
+    got = {r.doc_id for r in out["final"].select("doc_id").collect()}
+    assert got == want
+    n_decon = decon.count()
+    assert 0 < len(got) < n_decon  # the stage selects, not passes-through
