@@ -135,3 +135,67 @@ def test_components_empty_converges_first_round(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     # max_iter=1: converging on the first round is the contract
     assert connected_components(nodes, edges, max_iter=1).count() == 0
+
+
+def test_round5_webtext_family_empty(spark):
+    """Round-5 web-crawl/selection operators on empty input: every one
+    must return an empty (or well-defined) result, not throw and not
+    spin (the components empty-graph lesson)."""
+    from maup_spark.functions.dsir import (
+        dsir_ratio,
+        dsir_score,
+        dsir_select,
+        hashed_gram_counts,
+    )
+    from maup_spark.functions.lm import lm_score, lm_train
+    from maup_spark.functions.text import weighted_sample
+    from maup_spark.functions.webtext import (
+        canonicalize_url,
+        contamination_check,
+        host_stats,
+        pack_shards,
+        pii_scrub,
+        upsample_by_source,
+        url_dedup,
+    )
+
+    e = _empty_docs(spark)
+    pages = spark.createDataFrame(
+        [], "doc_id long, url string, crawl_ts long, text string, lang string"
+    )
+
+    assert canonicalize_url(pages).count() == 0
+    assert url_dedup(pages, ts_col="crawl_ts").count() == 0
+    assert host_stats(pages).count() == 0
+    # empty corpus vs a real benchmark: nothing to score
+    bench = spark.createDataFrame([(1, "a b c d e f g h")],
+                                  "doc_id long, text string")
+    assert contamination_check(e, bench, n=3).count() == 0
+    # and a real corpus vs an EMPTY benchmark: zero matches, all rows
+    out = contamination_check(bench, e, n=3).collect()
+    assert len(out) == 1 and out[0]["n_matched"] == 0
+    assert pack_shards(e, tokens_per_shard=100).count() == 0
+    assert upsample_by_source(
+        e.withColumn("source", F.lit("s")), {"s": 2.0}
+    ).count() == 0
+    assert pii_scrub(e).count() == 0
+
+    # LM: empty train -> empty vocab; scoring vs empty vocab = all OOV
+    lm = lm_train(e)
+    assert lm.count() == 0
+    scored = lm_score(bench, lm).collect()
+    assert len(scored) == 1 and scored[0]["n_oov"] == scored[0]["n_tokens"]
+    assert lm_score(e, lm).count() == 0
+
+    # DSIR: empty target AND empty raw -> empty ratio, empty selection
+    ratio = dsir_ratio(hashed_gram_counts(e), hashed_gram_counts(e))
+    assert ratio.count() == 0
+    assert dsir_select(dsir_score(e, ratio), 5).count() == 0
+    # empty target, real raw: every bucket scores fam_p=0 (pure penalty)
+    ratio2 = dsir_ratio(hashed_gram_counts(e), hashed_gram_counts(bench))
+    s = dsir_score(bench, ratio2).collect()
+    assert len(s) == 1 and s[0]["score"] < 0
+
+    assert weighted_sample(
+        e.withColumn("w", F.lit(1.0)), 5, weight_col="w"
+    ).count() == 0
