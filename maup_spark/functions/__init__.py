@@ -3,6 +3,7 @@ from .text import (
     doc_fingerprint,
     lang_id,
     line_dedup,
+    normalize_text,
     repetition_score,
     stratified_sample,
     text_stats,
@@ -53,6 +54,7 @@ __all__ = [
     "lm_train",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "normalize_text",
     "pack_shards",
     "pii_scrub",
     "pii_stats",

@@ -331,3 +331,37 @@ def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr(f"regexp_extract_all({text_col}, '{BPE_PRETOKEN_RE}', 0)")
         ).alias("n_bpe_tokens"),
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Dedup-key text normalization (the Lee et al. ExactSubstr / C4
+    preprocessing step): lowercase, strip everything that is not a
+    letter / digit / whitespace, collapse whitespace runs to one
+    space, trim.  Appends ``out_col``; pure codegen projection — zero
+    shuffle, a free rider on any scan at 10^12 pages.
+
+    The character classes are the Unicode-property forms ``\\p{L}`` /
+    ``\\p{N}``, interpreted identically by Java regex (Spark) and RE2
+    (DuckDB) — no lookaround/backrefs, so the normalized bytes are
+    engine-portable (proved by the md5 driver oracle).  Normalization
+    is idempotent: the output alphabet (lowercase letters, digits,
+    single spaces) is a fixed point of every step — tested.
+
+    Use BEFORE fingerprinting/minhash so near-dups differing only in
+    case/punctuation/spacing collapse to one key (the reference
+    pipeline's normalization placement).
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]+", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.withColumn(out_col, norm)

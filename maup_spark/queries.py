@@ -2740,3 +2740,43 @@ sc AS (
 SELECT doc_id, n_grams, score FROM sc
 ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup-key text normalization (Lee et al. / C4 preprocessing, round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization for dedup keys: lowercase, strip non-letter/digit/
+    whitespace, collapse whitespace, trim — md5 of the result proves
+    byte-identical normalization cross-engine.  Pure codegen
+    projection, zero shuffle (see functions/text.py normalize_text)."""
+    from .functions.text import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("norm_text")).alias("norm_md5"),
+        F.length(F.col("norm_text")).alias("norm_len"),
+    )
+
+
+QUERIES["normalize_text_docs"] = q_normalize_text_docs
+
+# Mirrors normalize_text step-for-step; RE2 reads \p{L}/\p{N}/\s the
+# same as Java regex (no lookaround/backrefs), DuckDB regexp_replace
+# needs the explicit 'g' flag Spark applies implicitly.
+ORACLES["normalize_text_docs"] = """
+SELECT doc_id,
+       md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]+', '', 'g'),
+             '\\s+', ' ', 'g'))) AS norm_md5,
+       CAST(length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]+', '', 'g'),
+             '\\s+', ' ', 'g'))) AS INT) AS norm_len
+FROM documents
+"""

@@ -65,6 +65,8 @@ DOC_QUERIES = [
     # DSIR importance resampling (hashed-gram models + broadcast ratio
     # join + distributed top-K)
     "dsir_select_docs",
+    # dedup-key normalization (pure projection)
+    "normalize_text_docs",
 ]
 
 

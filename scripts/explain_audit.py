@@ -231,6 +231,13 @@ CHECKS = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
         ["Python", "Window", "CartesianProduct", "SortAggregate"],
     ),
+    # dedup-key text normalization: a pure projection — no exchange of
+    # any kind, no join, no agg, no Python
+    "normalize_text_docs": (
+        [],
+        ["Python", "Window", "Exchange", "Join", "Aggregate",
+         "CartesianProduct"],
+    ),
 }
 
 
