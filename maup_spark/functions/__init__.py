@@ -18,7 +18,13 @@ from .dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from .dsir import dsir_ratio, dsir_score, dsir_select, hashed_gram_counts
+from .dsir import (
+    dsir_ratio,
+    dsir_score,
+    dsir_select,
+    hashed_gram_counts,
+    merge_gram_counts,
+)
 from .lm import lm_score, lm_train
 from .webtext import pii_scrub, pii_stats
 from .profile import profile_table
@@ -52,6 +58,7 @@ __all__ = [
     "line_dedup",
     "lm_score",
     "lm_train",
+    "merge_gram_counts",
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "normalize_text",

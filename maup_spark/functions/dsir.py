@@ -75,10 +75,12 @@ def _bucket(gram_col, n_buckets: int, hash_fn: str = "md5") -> "F.Column":
     non-negative and ``%`` agrees across engines.  This is the
     oracle-checkable config.
 
-    ``hash_fn="xxhash64"``: the production path — one JVM codegen
-    intrinsic instead of md5 hex + string slice + base conversion
-    (measured at 10^6 docs x ~79 grams/doc: 54.9 s vs 83.8 s warm,
-    1.5x; first-run 60 s vs 204 s, 3.4x).  Spark-only (DuckDB has no
+    ``hash_fn="xxhash64"``: one JVM codegen intrinsic instead of md5
+    hex + string slice + base conversion.  Measured at 10^6 docs x ~79
+    grams/doc: the gap is cold-start, not steady-state — first run in
+    a fresh JVM 60 s vs 204 s (the md5-hex chain's JIT/codegen
+    warm-up), but in a warmed JVM both run ~52 s (the explode +
+    hash-agg dominates, not the hash).  Spark-only (DuckDB has no
     xxhash64), so the driver oracle keeps md5; both models and the
     scorer must simply use the SAME hash_fn."""
     if hash_fn == "md5":
@@ -163,3 +165,21 @@ def dsir_select(
     """Top-``k`` most target-like documents, ties broken by lowest id —
     deterministic at any parallelism (TakeOrderedAndProject)."""
     return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def merge_gram_counts(*counts: DataFrame) -> DataFrame:
+    """Additive merge of ``hashed_gram_counts`` outputs (counts over
+    disjoint corpus slices sum exactly) — the incremental-model-refresh
+    path: count yesterday's crawl delta, merge with the running raw
+    model, rebuild the ratio, never rescan the full corpus.
+
+    Union + ONE hash-agg over the bounded (<= n_buckets) key space;
+    inputs must share the same n_buckets and hash_fn (counts are
+    meaningless to merge otherwise — the caller's contract, same as
+    dsir_score's)."""
+    if not counts:
+        raise ValueError("merge_gram_counts needs at least one input")
+    merged = counts[0]
+    for c in counts[1:]:
+        merged = merged.unionByName(c)
+    return merged.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))

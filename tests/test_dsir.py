@@ -224,3 +224,73 @@ def test_xxhash_production_path(spark):
     assert [f.name for f in scored.schema.fields] == ["doc_id", "n_grams", "score"]
     got = {r.doc_id: r.score for r in scored.collect()}
     assert got[1] > got[2]
+
+
+def test_merge_gram_counts_additive(spark):
+    """Counting slices then merging equals counting the union — the
+    incremental-refresh contract."""
+    from maup_spark.functions.dsir import merge_gram_counts
+
+    a = _docs(spark, [(1, "x y z"), (2, "x x")])
+    b = _docs(spark, [(3, "y q"), (4, "z")])
+    both = a.unionByName(b)
+    B = 64
+    merged = {
+        r.bucket: r.cnt
+        for r in merge_gram_counts(
+            hashed_gram_counts(a, n_buckets=B),
+            hashed_gram_counts(b, n_buckets=B),
+        ).collect()
+    }
+    want = {
+        r.bucket: r.cnt
+        for r in hashed_gram_counts(both, n_buckets=B).collect()
+    }
+    assert merged == want
+
+
+def test_streaming_lm_filter_matches_batch(spark, tmp_path):
+    """Streaming LM filter (stateless foreachBatch over a static
+    vocab): surviving doc set equals the batch keep-head/middle rule,
+    independent of micro-batch boundaries."""
+    from maup_spark.functions.lm import lm_score, lm_train
+    from maup_spark.streaming.lm_stream import streaming_lm_filter
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "timestamp_seconds(1704067200 + id * 60) AS ts",
+        # every 4th doc is common-token-heavy (head); others are
+        # unique-token salads (tail under a vocab trained on the corpus)
+        "CASE WHEN id % 4 = 0"
+        "  THEN 'the quick fox and the lazy dog and the end'"
+        "  ELSE 'rare' || CAST(id AS STRING) || ' tok' || CAST(id AS STRING)"
+        " END AS text",
+    )
+    lm = lm_train(docs.select("doc_id", "text"), max_vocab=16)
+    src = str(tmp_path / "lmsrc")
+    docs.repartition(4).write.parquet(src)
+
+    q = streaming_lm_filter(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "lmckpt"),
+        output_dir=str(tmp_path / "lmout"),
+        lm=lm,
+        keep_buckets=("head", "middle"),
+    )
+    q.awaitTermination(240)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "lmout"))
+        .select("doc_id")
+        .collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in lm_score(docs.select("doc_id", "text"), lm)
+        .filter(F.col("bucket").isin("head", "middle"))
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(want) < 100
