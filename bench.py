@@ -41,6 +41,7 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "assign_to_max_lineitem",
             "text_stats",
             "normalize_text_docs",
+            "chunk_docs",
             "repetition_score",
             "line_dedup",
             "novelty_docs",

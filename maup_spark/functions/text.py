@@ -365,3 +365,45 @@ def normalize_text(
         )
     )
     return docs.withColumn(out_col, norm)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with ``overlap``
+    carried between consecutive chunks (the trainer-facing complement
+    of ``pack_shards``: packing concatenates short docs, chunking
+    splits long ones).  Chunk ``i`` covers tokens
+    ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; starts are emitted while they
+    fall inside the document, so every token lands in >= 1 chunk and
+    consecutive chunks share exactly ``overlap`` tokens (fewer only at
+    the tail).
+
+    Returns DataFrame[id_col, chunk_idx, chunk_text, n_chunk_tokens].
+    Pure projection + explode over the repo-wide split-on-space
+    grammar — zero shuffle at any corpus size, deterministic at any
+    parallelism (chunk_idx is a function of the row alone)."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # chunk starts i*stride for i = 0 .. floor((n-1)/stride)
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    )
+    out = docs.select(F.col(id_col), toks.alias("__t"), idx.alias("chunk_idx"))
+    chunk = F.slice(
+        F.col("__t"), F.col("chunk_idx") * stride + 1, max_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

@@ -2780,3 +2780,53 @@ SELECT doc_id,
              '\\s+', ' ', 'g'))) AS INT) AS norm_len
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed token windows with overlap, round 5)
+# ---------------------------------------------------------------------------
+
+_CHUNK_MAX = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into 32-token windows with 8-token overlap
+    (the trainer-facing complement of pack_shards): md5 of each chunk
+    proves byte-identical windowing cross-engine.  Pure projection +
+    explode, zero shuffle (see functions/text.py chunk_documents)."""
+    from .functions.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = chunk_documents(docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        "n_chunk_tokens",
+    )
+
+
+QUERIES["chunk_docs"] = q_chunk_docs
+
+# stride = max_tokens - overlap = 24; chunk i covers tokens
+# [i*24+1 .. i*24+32] (1-based inclusive slice == Spark slice(start,
+# 32)); starts while i*24 < n  <=>  i <= floor((n-1)/24)
+ORACLES["chunk_docs"] = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (
+  SELECT doc_id, t,
+         UNNEST(range(0, CAST(floor((len(t) - 1) / 24.0) AS BIGINT) + 1))
+           AS chunk_idx
+  FROM tok
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       md5(array_to_string(t[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' '))
+         AS chunk_md5,
+       CAST(len(t[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS INT)
+         AS n_chunk_tokens
+FROM c
+"""

@@ -67,6 +67,8 @@ DOC_QUERIES = [
     "dsir_select_docs",
     # dedup-key normalization (pure projection)
     "normalize_text_docs",
+    # document chunking (projection + explode)
+    "chunk_docs",
 ]
 
 

@@ -238,6 +238,13 @@ CHECKS = {
         ["Python", "Window", "Exchange", "Join", "Aggregate",
          "CartesianProduct"],
     ),
+    # document chunking: projection + explode (Generate) — no exchange,
+    # no join, no agg, no Python
+    "chunk_docs": (
+        ["Generate"],
+        ["Python", "Window", "Exchange", "Join", "Aggregate",
+         "CartesianProduct"],
+    ),
 }
 
 
