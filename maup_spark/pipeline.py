@@ -32,6 +32,8 @@ def training_data_pipeline(
     scrub_pii: bool = False,
     near_policy: str = "min_id",
     dsir: dict | None = None,
+    chunk_tokens: int | None = None,
+    chunk_overlap: int = 0,
 ) -> dict[str, DataFrame]:
     """Returns {stage: DataFrame} for the checkpointed stages; the final
     ``district_rollup`` is per-district clean-document character mass.
@@ -60,7 +62,12 @@ def training_data_pipeline(
     importance score vs the ``doc_id % target_mod == 0`` curated-target
     slice clears ``min_score``; optional ``"n_buckets"`` (default 4096)
     and ``"hash_fn"`` ("md5" portable / "xxhash64" production,
-    default)."""
+    default).
+
+    ``chunk_tokens`` (optional) splits every mixture row into
+    ``chunk_tokens``-token windows (``chunk_overlap`` shared tokens)
+    before packing, so the pack units are training-sized chunks rather
+    than whole documents — long pages stop straddling many shards."""
     from . import datagen as D
     from .functions.dedup import exact_dedup, minhash_lsh_pairs, substring_dedup
     from .functions.multimodal import extract_text, pages
@@ -286,16 +293,50 @@ def training_data_pipeline(
     #    (two-level prefix scan — see functions.webtext.pack_shards).
     #    pack_id orders replicas right after their original so copies
     #    of one doc land in nearby shards deterministically.
+    # 9b. optional chunking: split each (doc, copy) into fixed token
+    #     windows so pack units are training-sized (projection +
+    #     explode, zero shuffle; ids stay deterministic)
+    pack_input, pack_from = mixture, "mixture"
+    if chunk_tokens is not None:
+        from .functions.text import chunk_documents
+
+        def build_chunks():
+            mixed = mixture.withColumn(
+                "mix_id", F.col("doc_id") * 1000 + F.col("copy_idx")
+            )
+            ch = chunk_documents(
+                mixed.select("mix_id", "text"),
+                max_tokens=chunk_tokens,
+                overlap=chunk_overlap,
+                id_col="mix_id",
+            )
+            return ch.select(
+                "mix_id",
+                "chunk_idx",
+                F.col("chunk_text").alias("text"),
+            )
+
+        pack_input = out["chunks"] = runner.run_stage(
+            "chunk", build_chunks, inputs=["mixture"]
+        )
+        pack_from = "chunk"
+
     def build_pack():
         from .functions.webtext import pack_shards
 
-        keyed = mixture.withColumn(
-            "pack_id", F.col("doc_id") * 1000 + F.col("copy_idx")
-        )
+        if chunk_tokens is not None:
+            keyed = pack_input.withColumn(
+                "pack_id",
+                F.col("mix_id") * 100_000 + F.col("chunk_idx"),
+            )
+        else:
+            keyed = pack_input.withColumn(
+                "pack_id", F.col("doc_id") * 1000 + F.col("copy_idx")
+            )
         return pack_shards(
             keyed, tokens_per_shard=100_000, id_col="pack_id"
         )
 
-    out["pack"] = runner.run_stage("pack", build_pack, inputs=["mixture"])
+    out["pack"] = runner.run_stage("pack", build_pack, inputs=[pack_from])
     out["runner"] = runner
     return out

@@ -192,3 +192,44 @@ def test_pipeline_dsir_stage(spark, sf_dir, tmp_path):
     assert got == want
     n_decon = decon.count()
     assert 0 < len(got) < n_decon  # the stage selects, not passes-through
+
+
+def test_pipeline_chunk_stage(spark, sf_dir, tmp_path):
+    """Round-5 chunking policy: with chunk_tokens set, pack units are
+    fixed token windows; with overlap=0 the total token mass is
+    conserved from mixture to chunks to pack, and the chunk stage
+    equals an independent chunk_documents run over the mixture."""
+    from maup_spark.functions.text import chunk_documents
+
+    run_dir = str(tmp_path / "run_chunk")
+    out = training_data_pipeline(
+        spark, sf_dir, run_dir, mixture_weights={},
+        chunk_tokens=16, chunk_overlap=0,
+    )
+
+    mixture = spark.read.parquet(f"{run_dir}/mixture")
+    chunks = out["chunks"]
+
+    # token conservation (overlap=0): sum over chunks == sum over docs
+    n_tok = lambda df, c: df.selectExpr(
+        f"sum(size(split({c}, ' '))) AS n"
+    ).collect()[0]["n"]
+    assert n_tok(chunks, "text") == n_tok(mixture, "text")
+
+    # chunk stage == independent operator run
+    mixed = mixture.withColumn(
+        "mix_id", F.col("doc_id") * 1000 + F.col("copy_idx")
+    )
+    want = chunk_documents(
+        mixed.select("mix_id", "text"), max_tokens=16, overlap=0,
+        id_col="mix_id",
+    ).select("mix_id", "chunk_idx", F.col("chunk_text").alias("text"))
+    got = chunks.select("mix_id", "chunk_idx", "text")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # every chunk is <= 16 tokens and pack offsets remain gapless
+    assert chunks.filter("size(split(text, ' ')) > 16").count() == 0
+    pack = out["pack"]
+    total = pack.selectExpr("max(start_offset + n_tokens) AS t").collect()[0]["t"]
+    assert total == n_tok(mixture, "text")
