@@ -347,7 +347,12 @@ def normalize_text(
     The character classes are the Unicode-property forms ``\\p{L}`` /
     ``\\p{N}``, interpreted identically by Java regex (Spark) and RE2
     (DuckDB) — no lookaround/backrefs, so the normalized bytes are
-    engine-portable (proved by the md5 driver oracle).  Normalization
+    engine-portable (proved by the md5 driver oracle).  Note ``\\s``
+    is the ASCII class in BOTH engines (neither enables Unicode
+    character classes), so non-ASCII whitespace (NBSP, U+2028, ...)
+    is STRIPPED like punctuation rather than collapsed to a space —
+    fine for a dedup key, surfaced by the hypothesis fuzz
+    (tests/test_text_fuzz.py).  Normalization
     is idempotent: the output alphabet (lowercase letters, digits,
     single spaces) is a fixed point of every step — tested.
 

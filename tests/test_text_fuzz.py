@@ -1,0 +1,104 @@
+"""Property fuzz for the round-5 text operators: chunk_documents
+(coverage / overlap / reassembly vs a Python replica) and
+normalize_text (idempotence + Python-regex replica parity).
+
+Hypothesis generates the corpus driver-side (one batch), then a SINGLE
+Spark job checks every example — the repo's fuzz idiom (per-example
+Spark jobs would be 100x slower)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _hypothesis_texts(n=60):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+    # words over unicode letters/digits/punct restricted to the BMP:
+    # supplementary-plane codepoints added in recent Unicode versions
+    # classify differently across Java/Python/RE2 table versions (an
+    # environment skew, not an operator property); pathological seeds
+    # appended below
+    token = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"),
+            whitelist_characters="äÉ!.,;-",
+            max_codepoint=0xFFFF,
+        ),
+        min_size=0,
+        max_size=8,
+    )
+
+    @settings(max_examples=n, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(toks=st.lists(token, min_size=0, max_size=40))
+    def collect(toks):
+        cases.append(" ".join(toks))
+
+    collect()
+    cases += ["", " ", "  ", "a", "a b", " leading", "trailing ",
+              "tab\tand\nnewline", "!!! ??? ...", "ä Ö ü ß 42"]
+    return cases
+
+
+def _py_chunks(text, mx, ov):
+    toks = text.split(" ")
+    stride = mx - ov
+    out = []
+    i = 0
+    while i * stride < len(toks):
+        out.append(" ".join(toks[i * stride : i * stride + mx]))
+        i += 1
+    return out
+
+
+def _py_norm(text):
+    # Java regex and RE2 both read \s as ASCII [ \t\n\x0b\f\r] (no
+    # UNICODE_CHARACTER_CLASS); Python's \s is Unicode-aware, so the
+    # replica must spell the ASCII class out — a Zs char like NBSP is
+    # STRIPPED by the operator (non-letter/digit/ASCII-space), not
+    # collapsed to ' '.  \w minus underscore matches \p{L}\p{N} on the
+    # BMP.
+    s = re.sub(r"[^\w\t\n\x0b\f\r ]+", "", text.lower(), flags=re.UNICODE)
+    s = s.replace("_", "")
+    s = re.sub(r"[\t\n\x0b\f\r ]+", " ", s)
+    return s.strip(" ")
+
+
+def test_chunk_fuzz_python_parity(spark):
+    from maup_spark.functions.text import chunk_documents
+
+    texts = _hypothesis_texts()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for mx, ov in ((4, 1), (7, 0), (16, 8)):
+        got = {}
+        for r in chunk_documents(df, max_tokens=mx, overlap=ov).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+        for did, text in enumerate(texts):
+            want = _py_chunks(text, mx, ov)
+            chunks = [got[did][i] for i in sorted(got[did])]
+            assert chunks == want, (did, mx, ov, text)
+
+
+def test_normalize_fuzz_idempotent_and_replica(spark):
+    from maup_spark.functions.text import normalize_text
+
+    texts = _hypothesis_texts()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = normalize_text(df)
+    rows = {r.doc_id: r.norm_text for r in once.collect()}
+    # idempotence in one extra pass
+    twice = normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text"))
+    )
+    for r in twice.collect():
+        assert r.norm_text == rows[r.doc_id]
+    # Python replica parity (\w minus underscore == \p{L}\p{N})
+    for did, text in enumerate(texts):
+        assert rows[did] == _py_norm(text), (did, text)
