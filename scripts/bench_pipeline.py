@@ -42,6 +42,42 @@ def main() -> None:
         min_quality_e6=300_000,
         mixture_weights={"crawl-0": 2.0, "crawl-1": 0.0},
     )
+    # SPARK_GRAFT_PIPELINE_POLICY=full turns every round-5 policy stage
+    # on: PII redaction, keep-best near-dup survivors, DSIR selection
+    # (threshold probed at the corpus ~q10 so the stage genuinely
+    # drops a tail), and 512-token chunking before pack
+    if os.environ.get("SPARK_GRAFT_PIPELINE_POLICY") == "full":
+        from pyspark.sql import functions as F
+
+        from maup_spark.functions.dsir import (
+            dsir_ratio,
+            dsir_score,
+            hashed_gram_counts,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        ratio = dsir_ratio(
+            hashed_gram_counts(
+                docs.filter(F.col("doc_id") % 17 == 0),
+                n_buckets=4096, hash_fn="xxhash64",
+            ),
+            hashed_gram_counts(docs, n_buckets=4096, hash_fn="xxhash64"),
+        )
+        probe = dsir_score(
+            docs.filter(F.col("doc_id") % 97 == 0), ratio,
+            n_buckets=4096, hash_fn="xxhash64",
+        )
+        q10 = int(probe.approxQuantile("score", [0.1], 0.01)[0])
+        kwargs.update(
+            scrub_pii=True,
+            near_policy="keep_best",
+            chunk_tokens=512,
+            chunk_overlap=32,
+            dsir={"target_mod": 17, "min_score": q10,
+                  "n_buckets": 4096, "hash_fn": "xxhash64"},
+        )
     t0 = time.perf_counter()
     out = training_data_pipeline(spark, sf_dir, run_dir, **kwargs)
     counts = {
