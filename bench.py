@@ -56,6 +56,7 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "pack_shards_docs",
             "pii_scrub_docs",
             "lm_familiarity",
+            "lm_bigram",
             "weighted_sample_docs",
             "dsir_select_docs",
             "keep_best_docs",

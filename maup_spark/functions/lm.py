@@ -118,3 +118,98 @@ def lm_score(
         .otherwise(F.lit("middle"))
         .alias("bucket"),
     )
+
+
+def lm2_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 65536,
+) -> DataFrame:
+    """DataFrame[g, cnt, fam] — the ``max_vocab`` most frequent word
+    BIGRAMS (ties broken by gram string) with integer familiarity
+    ``fam = floor(log2 cnt)`` — the bigram upgrade of ``lm_train``
+    (closer to CCNet's KenLM n-gram model than unigram familiarity;
+    a fluent common phrase scores above two common words in random
+    order).
+
+    Shape identical to ``lm_train``: one explode over the per-row
+    bigram array (no window — bigrams come from the JVM HOF grammar
+    shared with contamination/DSIR) + map-side-combinable hash-agg +
+    distributed top-K (TakeOrderedAndProject)."""
+    from .webtext import _word_grams
+
+    gf = (
+        docs.select(
+            F.explode(_word_grams(F.col(text_col), 2)).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "g")
+        .limit(max_vocab)
+    )
+    return gf.withColumn(
+        "fam", (F.length(F.bin(F.col("cnt"))) - 1).cast("long")
+    )
+
+
+def lm2_score(
+    docs: DataFrame,
+    lm2: DataFrame,
+    lm1: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram familiarity with unigram BACKOFF:
+    DataFrame[id_col, n_bigrams, n_hits2, fam_sum, fam_mean_e6].
+
+    Every bigram position contributes ``fam2(w1 w2)`` when the bigram
+    is in the ``lm2_train`` table, else ``max(fam1(w2) - 1, 0)`` (the
+    Katz-shaped integer backoff: an unseen transition into a common
+    word scores one notch under the word's own familiarity; OOV -> 0).
+    All integer until the single final division — bit-identical at any
+    parallelism, DuckDB-mirrorable token for token.
+
+    Shape: explode the per-row bigram array -> BROADCAST bigram-vocab
+    join + BROADCAST unigram-vocab join on the bigram's second word
+    (``substring_index(g, ' ', -1)`` — pure codegen, no re-explode) ->
+    one per-doc map-side-combinable aggregation.  Zero windows, zero
+    Python.  Documents with fewer than 2 tokens emit no row (no
+    transitions to score)."""
+    from .webtext import _word_grams
+
+    g = docs.select(
+        F.col(id_col), F.explode(_word_grams(F.col(text_col), 2)).alias("g")
+    )
+    j = (
+        g.join(
+            F.broadcast(lm2.select(F.col("g"), F.col("fam").alias("__f2"))),
+            "g",
+            "left",
+        )
+        .withColumn("__w2", F.substring_index(F.col("g"), " ", -1))
+        .join(
+            F.broadcast(
+                lm1.select(F.col("w").alias("__w2"), F.col("fam").alias("__f1"))
+            ),
+            "__w2",
+            "left",
+        )
+    )
+    contrib = F.coalesce(
+        F.col("__f2"),
+        F.greatest(F.coalesce(F.col("__f1"), F.lit(0)) - 1, F.lit(0)),
+    )
+    agg = j.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.col("__f2").isNotNull().cast("long")).alias("n_hits2"),
+        F.sum(contrib).alias("fam_sum"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "n_hits2",
+        "fam_sum",
+        F.round(F.lit(1e6) * F.col("fam_sum") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("fam_mean_e6"),
+    )

@@ -2830,3 +2830,69 @@ SELECT doc_id,
          AS n_chunk_tokens
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with unigram backoff (CCNet n-gram fidelity upgrade, round 5)
+# ---------------------------------------------------------------------------
+
+_LM2_VOCAB = 512
+
+
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram familiarity with integer Katz-shaped backoff: train the
+    bounded bigram + unigram tables on the dedup corpus, score every
+    document.  Train = explode + hash-agg + TakeOrderedAndProject ×2;
+    score = two BROADCAST vocab joins + one per-doc agg — zero
+    windows, integer-exact end to end (see functions/lm.py)."""
+    from .functions.lm import lm2_score, lm2_train, lm_train
+
+    corpus = _corpus(spark, sf_dir)
+    lm1 = lm_train(corpus, max_vocab=_LM_VOCAB)
+    lm2 = lm2_train(corpus, max_vocab=_LM2_VOCAB)
+    return lm2_score(corpus, lm2, lm1)
+
+
+QUERIES["lm_bigram"] = q_lm_bigram
+
+# Mirrors lm2_train/lm2_score gram-for-gram: bigrams over raw
+# split-on-space tokens (the contamination grammar at n=2), unigram
+# vocab excludes empty tokens (the lm_train grammar), backoff =
+# GREATEST(COALESCE(f1,0)-1, 0), one final division.
+ORACLES["lm_bigram"] = f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM corpus),
+tokn AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+vocab1 AS (
+  SELECT w, COUNT(*) AS cnt FROM tokn GROUP BY w
+  ORDER BY cnt DESC, w LIMIT {_LM_VOCAB}
+),
+fam1 AS (SELECT w, CAST(length(bin(cnt)) - 1 AS BIGINT) AS f1 FROM vocab1),
+bg AS (
+  SELECT doc_id, UNNEST(list_transform(
+           range(0, greatest(len(t) - 2 + 1, 0)),
+           i -> array_to_string(t[i+1:i+2], ' '))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+),
+vocab2 AS (
+  SELECT g, COUNT(*) AS cnt FROM bg GROUP BY g
+  ORDER BY cnt DESC, g LIMIT {_LM2_VOCAB}
+),
+fam2 AS (SELECT g, CAST(length(bin(cnt)) - 1 AS BIGINT) AS f2 FROM vocab2),
+sc AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN f2.f2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits2,
+         CAST(SUM(COALESCE(f2.f2,
+                  GREATEST(COALESCE(f1.f1, 0) - 1, 0))) AS BIGINT)
+           AS fam_sum
+  FROM bg b
+  LEFT JOIN fam2 f2 ON f2.g = b.g
+  LEFT JOIN fam1 f1 ON f1.w = split_part(b.g, ' ', 2)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, n_hits2, fam_sum,
+       CAST(ROUND(1e6 * fam_sum / n_bigrams) AS BIGINT) AS fam_mean_e6
+FROM sc
+"""

@@ -59,6 +59,7 @@ DOC_QUERIES = [
     # capstone (label propagation over the real candidate graph)
     "pii_scrub_docs",
     "lm_familiarity",
+    "lm_bigram",
     "weighted_sample_docs",
     "keep_best_docs",
     "minhash_cluster_keep_best",

@@ -245,6 +245,14 @@ CHECKS = {
         ["Python", "Window", "Exchange", "Join", "Aggregate",
          "CartesianProduct"],
     ),
+    # bigram LM with backoff: two bounded-vocab trains (hash-agg +
+    # TakeOrderedAndProject) + two BROADCAST joins + one per-doc agg —
+    # never a window, never a shuffle join
+    "lm_bigram": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
+        ["Python", "Window", "CartesianProduct", "SortAggregate",
+         "SortMergeJoin"],
+    ),
 }
 
 

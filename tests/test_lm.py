@@ -81,3 +81,51 @@ class TestLmScore:
         assert "BroadcastHashJoin" in plan
         assert "Window" not in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestLm2:
+    def test_bigram_counts_closed_form(self, spark):
+        from maup_spark.functions.lm import lm2_train
+
+        docs = _docs(spark, [(1, "a b a b c"), (2, "a b")])
+        got = {r.g: (r.cnt, r.fam) for r in lm2_train(docs).collect()}
+        # bigrams: doc1 = "a b","b a","a b","b c"; doc2 = "a b"
+        assert got["a b"] == (3, 1)
+        assert got["b a"] == (1, 0)
+        assert got["b c"] == (1, 0)
+
+    def test_backoff_math_closed_form(self, spark):
+        from maup_spark.functions.lm import lm2_score, lm2_train, lm_train
+
+        train = _docs(spark, [(1, "x y x y x y z z z z z z z z")])
+        lm1 = lm_train(train)   # z: cnt 8 fam 3; x: 3 fam 1; y: 3 fam 1
+        lm2 = lm2_train(train, max_vocab=2)  # top-2 bigrams: "x y"(3),"z z"(7)
+        # doc: "x y" hits bigram table (fam2); "y q" unseen, q OOV -> 0;
+        # "q z" unseen, z fam1 3 -> backoff 2
+        r = lm2_score(_docs(spark, [(9, "x y q z")]), lm2, lm1).first()
+        assert r.n_bigrams == 3 and r.n_hits2 == 1
+        f2_xy = {x.g: x.fam for x in lm2.collect()}["x y"]
+        assert r.fam_sum == f2_xy + 0 + 2
+
+    def test_short_docs_emit_no_row(self, spark):
+        from maup_spark.functions.lm import lm2_score, lm2_train, lm_train
+
+        train = _docs(spark, [(1, "a b")])
+        out = lm2_score(
+            _docs(spark, [(1, "solo"), (2, "")]),
+            lm2_train(train), lm_train(train),
+        ).collect()
+        assert out == []
+
+    def test_plan_broadcast_no_window(self, spark):
+        from maup_spark.functions.lm import lm2_score, lm2_train, lm_train
+
+        docs = _docs(spark, [(i, f"w{i} w{(i+1) % 5} common") for i in range(20)])
+        plan = (
+            lm2_score(docs, lm2_train(docs), lm_train(docs))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "Window" not in plan and "SortMergeJoin" not in plan
