@@ -57,6 +57,8 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "pii_scrub_docs",
             "lm_familiarity",
             "lm_bigram",
+            "top_ngrams",
+            "source_stats",
             "weighted_sample_docs",
             "dsir_select_docs",
             "keep_best_docs",

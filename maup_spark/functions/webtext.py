@@ -372,3 +372,66 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         aggs.append(F.sum(c).alias(f"total_{name}"))
         aggs.append(F.sum((c > 0).cast("long")).alias(f"docs_with_{name}"))
     return scrubbed.agg(*aggs)
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams with document frequency —
+    the boilerplate-discovery report (the top of this table at crawl
+    scale IS the nav-bar/cookie-banner/footer list that line_dedup and
+    substring_dedup then remove; run it BEFORE choosing thresholds).
+
+    DataFrame[gram, n_occurrences, n_docs], top_k rows by occurrence
+    count (ties broken by gram).  Per-row `array_distinct` feeds the
+    doc-frequency sum WITHOUT a (gram, doc) distinct shuffle; ONE
+    map-side-combinable hash-agg + distributed top-K
+    (TakeOrderedAndProject) — a corpus-wide boilerplate gram is
+    absorbed by partial combine, never a hot key."""
+    per_doc = docs.select(
+        F.explode(_word_grams(F.col(text_col), n)).alias("gram")
+    ).groupBy("gram").agg(F.count("*").alias("n_occurrences"))
+    dist = docs.select(
+        F.explode(F.array_distinct(_word_grams(F.col(text_col), n))).alias("gram")
+    ).groupBy("gram").agg(F.count("*").alias("n_docs"))
+    return (
+        per_doc.join(dist, "gram")
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(top_k)
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus governance report: document count, total and
+    mean characters, mean whitespace-token count — the table a mixture
+    policy (``upsample_by_source`` weights) is decided from.
+
+    ONE map-side-combinable hash-agg keyed by source (a mega-source is
+    absorbed by partial combine); integer sums plus one final division
+    per mean, so the output is hash-stable cross-engine."""
+    t = F.col(text_col)
+    n_tok = F.size(F.split(t, " "))
+    agg = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(t)).alias("total_chars"),
+        F.sum(n_tok.cast("long")).alias("total_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(F.lit(1e6) * F.col("total_chars") / F.col("n_docs"))
+        .cast("long")
+        .alias("mean_chars_e6"),
+        F.round(F.lit(1e6) * F.col("total_tokens") / F.col("n_docs"))
+        .cast("long")
+        .alias("mean_tokens_e6"),
+    )

@@ -2896,3 +2896,74 @@ SELECT doc_id, n_bigrams, n_hits2, fam_sum,
        CAST(ROUND(1e6 * fam_sum / n_bigrams) AS BIGINT) AS fam_mean_e6
 FROM sc
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus QA reports: boilerplate-discovery top n-grams + per-source
+# governance stats (round 5)
+# ---------------------------------------------------------------------------
+
+_TOPNG_N = 3
+_TOPNG_K = 100
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent word 3-grams with doc frequency over the dedup
+    corpus (its synthetic boilerplate suffixes surface at the top —
+    exactly what the report exists to find).  One hash-agg per metric
+    + TakeOrderedAndProject (see functions/webtext.py top_ngrams)."""
+    from .functions.webtext import top_ngrams
+
+    return top_ngrams(_corpus(spark, sf_dir), n=_TOPNG_N, top_k=_TOPNG_K)
+
+
+QUERIES["top_ngrams"] = q_top_ngrams
+
+ORACLES["top_ngrams"] = f"""
+WITH {_CORPUS_CTE},
+g AS (
+  SELECT doc_id, UNNEST(list_transform(
+           range(0, greatest(len(t) - 3 + 1, 0)),
+           i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+),
+occ AS (SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram),
+gd AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(0, greatest(len(t) - 3 + 1, 0)),
+           i -> array_to_string(t[i+1:i+3], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+),
+df AS (SELECT gram, COUNT(*) AS n_docs FROM gd GROUP BY gram)
+SELECT occ.gram, occ.n_occurrences, df.n_docs
+FROM occ JOIN df USING (gram)
+ORDER BY n_occurrences DESC, gram LIMIT {_TOPNG_K}
+"""
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source governance report over the documents table: counts,
+    char/token mass, scaled-integer means (the table mixture weights
+    are decided from).  ONE map-side-combinable hash-agg."""
+    from .functions.webtext import source_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    return source_stats(docs)
+
+
+QUERIES["source_stats"] = q_source_stats
+
+ORACLES["source_stats"] = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(ROUND(1e6 * SUM(length(text)) / COUNT(*)) AS BIGINT)
+         AS mean_chars_e6,
+       CAST(ROUND(1e6 * SUM(len(string_split(text, ' '))) / COUNT(*))
+            AS BIGINT) AS mean_tokens_e6
+FROM documents
+GROUP BY source
+"""

@@ -48,6 +48,7 @@ DOC_QUERIES = [
     # benchmark contamination with a ~10k-doc broadcast gram set)
     "url_dedup_pages",
     "host_stats_pages",
+    "source_stats",
     "contamination_docs",
     # token-stream sharding (two-level prefix scan; 64-doc blocks at
     # sf scale become 10^6-doc blocks in production — same plan)

@@ -253,6 +253,17 @@ CHECKS = {
         ["Python", "Window", "CartesianProduct", "SortAggregate",
          "SortMergeJoin"],
     ),
+    # boilerplate-discovery report: two map-side-combinable gram aggs
+    # + distributed top-K — never a window rank
+    "top_ngrams": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["Python", "Window", "CartesianProduct", "SortAggregate"],
+    ),
+    # per-source governance report: ONE hash-agg, nothing else
+    "source_stats": (
+        ["HashAggregate"],
+        ["Python", "Window", "Join", "CartesianProduct", "SortAggregate"],
+    ),
 }
 
 

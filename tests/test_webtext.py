@@ -531,3 +531,57 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert any(r[2] > 0 for r in got)  # the injected emails were caught
+
+
+class TestTopNgrams:
+    def test_closed_form(self, spark):
+        from maup_spark.functions.webtext import top_ngrams
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "a b c"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.gram: (r.n_occurrences, r.n_docs)
+            for r in top_ngrams(docs, n=3, top_k=10).collect()
+        }
+        # "a b c": 2 occurrences in doc1 + 1 in doc2 -> (3, 2)
+        assert got["a b c"] == (3, 2)
+        assert got["x y z"] == (1, 1)
+
+    def test_topk_tiebreak_deterministic(self, spark):
+        from maup_spark.functions.webtext import top_ngrams
+
+        docs = spark.createDataFrame(
+            [(1, "z y x"), (2, "a b c")], "doc_id long, text string"
+        )
+        got = [r.gram for r in top_ngrams(docs, n=3, top_k=1).collect()]
+        assert got == ["a b c"]  # count tie -> lexicographic first
+
+    def test_plan_no_window(self, spark):
+        from maup_spark.functions.webtext import top_ngrams
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} x y z") for i in range(20)], "doc_id long, text string"
+        )
+        plan = (
+            top_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+
+
+class TestSourceStats:
+    def test_closed_form(self, spark):
+        from maup_spark.functions.webtext import source_stats
+
+        docs = spark.createDataFrame(
+            [(1, "ab cd", "s1"), (2, "x", "s1"), (3, "hello world", "s2")],
+            "doc_id long, text string, source string",
+        )
+        got = {r.source: r for r in source_stats(docs).collect()}
+        assert got["s1"].n_docs == 2
+        assert got["s1"].total_chars == 5 + 1
+        assert got["s1"].total_tokens == 2 + 1
+        assert got["s1"].mean_chars_e6 == round(1e6 * 6 / 2)
+        assert got["s2"].mean_tokens_e6 == 2_000_000
