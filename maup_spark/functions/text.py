@@ -412,3 +412,30 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+def length_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus length distribution in power-of-two character buckets:
+    DataFrame[bucket, lo_chars, n_docs] where ``bucket =
+    floor(log2(len+1))`` (empty docs land in bucket 0) and ``lo_chars
+    = 2^bucket - 1`` is the bucket's inclusive lower edge — the
+    length-filter thresholds (quality_score's 64..100k band) are
+    sanity-checked against this table.
+
+    ONE map-side-combinable hash-agg over at most ~40 buckets (the
+    key space is bounded by the max document length's log); integer
+    everywhere, so hash-stable cross-engine."""
+    b = (F.length(F.bin(F.length(F.col(text_col)) + 1)) - 1).cast("long")
+    return (
+        docs.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bucket",
+            (F.pow(F.lit(2.0), F.col("bucket")).cast("long") - 1).alias("lo_chars"),
+            "n_docs",
+        )
+    )

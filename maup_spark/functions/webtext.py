@@ -435,3 +435,28 @@ def source_stats(
         .cast("long")
         .alias("mean_tokens_e6"),
     )
+
+
+def host_blocklist_filter(
+    pages_df: DataFrame,
+    blocklist_df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop every page whose canonical host (lowercased, ``www.``
+    stripped — the ``host_of`` grammar) appears in the blocklist — the
+    C4-style badlist stage, run at ingest before any text processing.
+
+    The blocklist (10^4-10^6 domains — tiny vs 10^12 pages) is
+    BROADCAST into a left-anti hash join: one scan, zero wide
+    shuffles, rows pass through untouched.  ``blocklist_df`` carries
+    canonical hosts in ``host_col`` (normalize with ``host_of`` when
+    sourcing from raw URLs)."""
+    bl = F.broadcast(
+        blocklist_df.select(F.col(host_col).alias("__bl_host")).distinct()
+    )
+    return pages_df.join(
+        bl,
+        host_of(F.col(url_col)) == F.col("__bl_host"),
+        "left_anti",
+    )

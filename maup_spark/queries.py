@@ -2967,3 +2967,66 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Host blocklist filter + corpus length histogram (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_blocklist_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style badlist stage: drop pages whose canonical host is on
+    the blocklist (here the src0/src7 source hosts), return the
+    per-host survivor counts (bounded output).  Broadcast left-anti
+    join, one hash-agg (see functions/webtext.py)."""
+    from .functions.webtext import host_blocklist_filter, host_of
+
+    pages = _crawl_pages(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [("src0.example.com",), ("src7.example.com",)], "host string"
+    )
+    kept = host_blocklist_filter(pages, bl)
+    return (
+        kept.select(host_of(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+QUERIES["blocklist_pages"] = q_blocklist_pages
+
+ORACLES["blocklist_pages"] = f"""
+WITH {_CRAWL_CTE},
+hosts AS (
+  SELECT regexp_replace(lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)), '^www\\.', '')
+           AS host
+  FROM crawl
+)
+SELECT host, COUNT(*) AS n_pages
+FROM hosts
+WHERE host NOT IN ('src0.example.com', 'src7.example.com')
+GROUP BY host
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length-distribution buckets over the documents
+    table — the table length-filter thresholds are sanity-checked
+    against.  ONE bounded hash-agg (see functions/text.py)."""
+    from .functions.text import length_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return length_histogram(docs)
+
+
+QUERIES["length_histogram"] = q_length_histogram
+
+ORACLES["length_histogram"] = """
+SELECT CAST(length(bin(length(text) + 1)) - 1 AS BIGINT) AS bucket,
+       CAST(power(2, length(bin(length(text) + 1)) - 1) AS BIGINT) - 1
+         AS lo_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""

@@ -264,6 +264,22 @@ CHECKS = {
         ["HashAggregate"],
         ["Python", "Window", "Join", "CartesianProduct", "SortAggregate"],
     ),
+    # badlist stage: broadcast LEFT-ANTI host join + one hash-agg —
+    # the blocklist never shuffles the corpus.  The bare "Python" token
+    # would false-positive on applySchemaToPythonRDD (the 2-row local
+    # blocklist fixture materializing via createDataFrame), so only
+    # real Python STAGES are banned — the aggregate_rects idiom
+    "blocklist_pages": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["Window", "CartesianProduct", "SortMergeJoin", "SortAggregate",
+         "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+         "BatchEvalPython"],
+    ),
+    # bounded-bucket length histogram: ONE hash-agg over ~40 keys
+    "length_histogram": (
+        ["HashAggregate"],
+        ["Python", "Window", "Join", "CartesianProduct", "SortAggregate"],
+    ),
 }
 
 

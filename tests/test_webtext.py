@@ -585,3 +585,60 @@ class TestSourceStats:
         assert got["s1"].total_tokens == 2 + 1
         assert got["s1"].mean_chars_e6 == round(1e6 * 6 / 2)
         assert got["s2"].mean_tokens_e6 == 2_000_000
+
+
+class TestHostBlocklist:
+    def test_drops_blocked_hosts_only(self, spark):
+        from maup_spark.functions.webtext import host_blocklist_filter
+
+        pages = spark.createDataFrame(
+            [(1, "https://bad.com/a"), (2, "https://www.bad.com/b"),
+             (3, "https://GOOD.com/c"), (4, "http://bad.com:80/d")],
+            "doc_id long, url string",
+        )
+        bl = spark.createDataFrame([("bad.com",)], "host string")
+        kept = {r.doc_id for r in host_blocklist_filter(pages, bl).collect()}
+        # www. stripped and host lowercased before the match; the port
+        # is NOT part of host_of's capture (stops at ':')
+        assert kept == {3}
+
+    def test_empty_blocklist_passthrough(self, spark):
+        from maup_spark.functions.webtext import host_blocklist_filter
+
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/x")], "doc_id long, url string"
+        )
+        bl = spark.createDataFrame([], "host string")
+        assert host_blocklist_filter(pages, bl).count() == 1
+
+    def test_plan_broadcast_anti(self, spark):
+        from maup_spark.functions.webtext import host_blocklist_filter
+
+        pages = spark.createDataFrame(
+            [(i, f"https://h{i}.com/x") for i in range(10)],
+            "doc_id long, url string",
+        )
+        bl = spark.createDataFrame([("h1.com",)], "host string")
+        plan = (
+            host_blocklist_filter(pages, bl)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestLengthHistogram:
+    def test_closed_form(self, spark):
+        from maup_spark.functions.text import length_histogram
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "a"), (3, "abc"), (4, "x" * 100)],
+            "doc_id long, text string",
+        )
+        got = {r.bucket: (r.lo_chars, r.n_docs) for r in length_histogram(docs).collect()}
+        # len 0 -> floor(log2 1)=0; len 1 -> floor(log2 2)=1;
+        # len 3 -> floor(log2 4)=2; len 100 -> floor(log2 101)=6
+        assert got[0] == (0, 1)
+        assert got[1] == (1, 1)
+        assert got[2] == (3, 1)
+        assert got[6] == (63, 1)
