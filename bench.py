@@ -59,6 +59,8 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "lm_bigram",
             "top_ngrams",
             "source_stats",
+            "blocklist_pages",
+            "length_histogram",
             "weighted_sample_docs",
             "dsir_select_docs",
             "keep_best_docs",
