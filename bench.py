@@ -59,6 +59,7 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "lm_bigram",
             "top_ngrams",
             "source_stats",
+            "source_divergence",
             "blocklist_pages",
             "length_histogram",
             "weighted_sample_docs",

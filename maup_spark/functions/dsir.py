@@ -183,3 +183,72 @@ def merge_gram_counts(*counts: DataFrame) -> DataFrame:
     for c in counts[1:]:
         merged = merged.unionByName(c)
     return merged.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def source_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-source distribution drift: the EXACT integer L1 distance
+    between each source's hashed-gram distribution and the whole
+    corpus — the governance report that flags an outlier source
+    (scraped boilerplate, wrong language, contamination) before it
+    ships in a mixture.
+
+    With per-source gram mass ``T_s``, corpus mass ``T``, counts
+    ``c_sb``/``c_b``:
+
+        L1_scaled(s) = sum over buckets b of |c_sb*T - c_b*T_s|
+                     = T*T_s + sum over b IN s of (|c_sb*T - c_b*T_s|
+                                                   - c_b*T_s)
+
+    (the identity folds every bucket the source never hits into the
+    closed-form ``T*T_s`` term, so NO source x bucket cross join is
+    ever built).  The true L1 on normalized distributions is
+    ``L1_scaled / (T*T_s)`` in [0, 2] — left as an exact integer
+    numerator (``decimal(38,0)``: products reach ~10^28 at web scale,
+    bigint overflows) so the result is bit-identical cross-engine;
+    divide downstream if a float is wanted.
+
+    Shape: one explode -> (source, bucket) hash-agg (bounded by
+    n_sources x n_buckets) -> corpus bucket table (<= n_buckets rows)
+    BROADCAST back -> per-source agg.  Zero windows, zero Python.
+
+    Returns DataFrame[source, n_grams, l1_scaled] (both exact)."""
+    grams = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(_grams12(F.col(text_col))).alias("gram"),
+    )
+    b = grams.select(
+        "source", _bucket(F.col("gram"), n_buckets, hash_fn).alias("bucket")
+    )
+    sb = b.groupBy("source", "bucket").agg(F.count("*").alias("c_sb"))
+    cb = sb.groupBy("bucket").agg(F.sum("c_sb").alias("c_b"))
+    tot = cb.agg(F.sum("c_b").alias("T")).select(
+        F.col("T").cast("decimal(38,0)").alias("T")
+    )
+    ts = sb.groupBy("source").agg(
+        F.sum("c_sb").cast("decimal(38,0)").alias("T_s")
+    )
+    j = (
+        sb.join(F.broadcast(cb), "bucket")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    term = F.abs(dec("c_sb") * F.col("T") - dec("c_b") * F.col("T_s")) - (
+        dec("c_b") * F.col("T_s")
+    )
+    agg = j.groupBy("source").agg(
+        F.sum(term).alias("__partial"),
+        F.first("T_s").alias("T_s"),
+        F.first("T").alias("T"),
+    )
+    return agg.select(
+        "source",
+        F.col("T_s").cast("long").alias("n_grams"),
+        (F.col("T") * F.col("T_s") + F.col("__partial")).alias("l1_scaled"),
+    )

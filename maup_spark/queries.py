@@ -3030,3 +3030,63 @@ SELECT CAST(length(bin(length(text) + 1)) - 1 AS BIGINT) AS bucket,
 FROM documents
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution divergence (governance report, round 5)
+# ---------------------------------------------------------------------------
+
+_SDIV_BUCKETS = 4096
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer L1 distance between each source's hashed-gram
+    distribution and the corpus — the outlier-source report.  One
+    explode + bounded (source, bucket) hash-agg + broadcast corpus
+    buckets + per-source agg; decimal(38,0) keeps the cross-multiplied
+    products exact (see functions/dsir.py source_divergence); BIGINT
+    casts are exact at this scale."""
+    from .functions.dsir import source_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "text"
+    )
+    out = source_divergence(docs, n_buckets=_SDIV_BUCKETS)
+    return out.select(
+        "source", "n_grams", F.col("l1_scaled").cast("long").alias("l1_scaled")
+    )
+
+
+QUERIES["source_divergence"] = q_source_divergence
+
+ORACLES["source_divergence"] = f"""
+WITH g AS (
+  SELECT source, UNNEST(
+    list_transform(range(0, greatest(len(t) - 1 + 1, 0)),
+                   i -> array_to_string(t[i+1:i+1], ' '))
+    || list_transform(range(0, greatest(len(t) - 2 + 1, 0)),
+                      i -> array_to_string(t[i+1:i+2], ' '))
+  ) AS gram
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+),
+b AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT)
+           % {_SDIV_BUCKETS} AS bucket
+  FROM g
+),
+sb AS (SELECT source, bucket, COUNT(*) AS c_sb FROM b GROUP BY 1, 2),
+cb AS (SELECT bucket, SUM(c_sb) AS c_b FROM sb GROUP BY 1),
+tot AS (SELECT SUM(c_b) AS T FROM cb),
+ts AS (SELECT source, SUM(c_sb) AS T_s FROM sb GROUP BY 1),
+term AS (
+  SELECT sb.source,
+         ABS(CAST(c_sb AS HUGEINT) * T - CAST(c_b AS HUGEINT) * T_s)
+           - CAST(c_b AS HUGEINT) * T_s AS d,
+         T_s, T
+  FROM sb JOIN cb USING (bucket) JOIN ts USING (source) CROSS JOIN tot
+)
+SELECT source, CAST(T_s AS BIGINT) AS n_grams,
+       CAST(CAST(T AS HUGEINT) * T_s + SUM(d) AS BIGINT) AS l1_scaled
+FROM term GROUP BY source, T_s, T
+"""

@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "url_dedup_pages",
     "host_stats_pages",
     "source_stats",
+    "source_divergence",
     "contamination_docs",
     # token-stream sharding (two-level prefix scan; 64-doc blocks at
     # sf scale become 10^6-doc blocks in production — same plan)

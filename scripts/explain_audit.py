@@ -280,6 +280,14 @@ CHECKS = {
         ["HashAggregate"],
         ["Python", "Window", "Join", "CartesianProduct", "SortAggregate"],
     ),
+    # per-source L1 drift: bounded (source, bucket) hash-agg +
+    # BROADCAST corpus-bucket join + per-source agg — no window, no
+    # shuffle join, the one nested-loop is the intentional broadcast
+    # of the 1-row total
+    "source_divergence": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Python", "Window", "CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 

@@ -294,3 +294,59 @@ def test_streaming_lm_filter_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(want) < 100
+
+
+class TestSourceDivergence:
+    def test_identical_sources_zero_and_outlier_positive(self, spark):
+        """Two sources drawn from the same text have L1 ~ 0 (exactly 0
+        when their distributions coincide); a disjoint-vocabulary
+        source diverges toward the 2*T*T_s maximum."""
+        from maup_spark.functions.dsir import source_divergence
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "s1"), (2, "a b c d", "s2"),
+             (3, "zz qq ww vv", "s3")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.source: r for r in source_divergence(docs, n_buckets=512).collect()}
+        assert out["s1"].l1_scaled == out["s2"].l1_scaled
+        assert out["s3"].l1_scaled > out["s1"].l1_scaled
+        # all values inside the [0, 2*T*T_s] envelope
+        T = sum(r.n_grams for r in out.values())
+        for r in out.values():
+            assert 0 <= int(r.l1_scaled) <= 2 * T * r.n_grams
+
+    def test_exact_python_parity(self, spark):
+        from maup_spark.functions.dsir import source_divergence
+
+        rows = [(1, "x y", "a"), (2, "x z z", "a"), (3, "y y q", "b")]
+        B = 64
+        out = {
+            r.source: int(r.l1_scaled)
+            for r in source_divergence(
+                _docs_src(spark, rows), n_buckets=B
+            ).collect()
+        }
+        # local replica
+        from collections import Counter
+
+        cnt = {}
+        for _, text, src in rows:
+            for gram in _py_grams12(text):
+                b = _py_bucket(gram, B)
+                cnt.setdefault(src, Counter())[b] += 1
+        corpus = Counter()
+        for c in cnt.values():
+            corpus.update(c)
+        T = sum(corpus.values())
+        want = {}
+        for src, c in cnt.items():
+            T_s = sum(c.values())
+            want[src] = sum(
+                abs(c.get(b, 0) * T - cb * T_s) for b, cb in corpus.items()
+            )
+        assert out == want
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
