@@ -584,27 +584,57 @@ def keep_best(
     deterministic at any parallelism (``max_by`` alone is not: its tie
     choice is arrival-order).
 
-    ONE hash aggregation via lexicographic ``max(struct(score, -id))``
-    — map-side partial combine absorbs any hot cluster (a corpus-wide
-    boilerplate cluster collapses to one row per input partition before
-    the exchange), no per-key window.  ``min_members`` > 1 restricts
-    the output to genuine duplicate clusters.
+    Numeric ids take ONE hash aggregation via lexicographic
+    ``max(struct(score, -id))`` — map-side partial combine absorbs any
+    hot cluster (a corpus-wide boilerplate cluster collapses to one row
+    per input partition before the exchange), no per-key window.  A
+    non-numeric (e.g. string/url) id can't be negated, so the generic
+    path runs TWO hash aggs joined on the cluster: per-cluster max
+    score, then ``min(id)`` among rows AT that score — same combine
+    properties, one extra (cluster-keyed, pre-reduced) join.
+    ``min_members`` > 1 restricts the output to genuine duplicate
+    clusters.
 
     Returns (cluster_col, id_col, score_col, n_members)."""
-    best = clustered.groupBy(cluster_col).agg(
-        F.max(
-            F.struct(
-                F.col(score_col).alias("s"),
-                (-F.col(id_col)).alias("nid"),
-            )
-        ).alias("__b"),
+    from pyspark.sql.types import NumericType
+
+    if isinstance(clustered.schema[id_col].dataType, NumericType):
+        best = clustered.groupBy(cluster_col).agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("__b"),
+            F.count("*").alias("n_members"),
+        )
+        if min_members > 1:
+            best = best.filter(F.col("n_members") >= min_members)
+        return best.select(
+            cluster_col,
+            (-F.col("__b.nid")).alias(id_col),
+            F.col("__b.s").alias(score_col),
+            "n_members",
+        )
+    top = clustered.groupBy(cluster_col).agg(
+        F.max(score_col).alias("__s"),
         F.count("*").alias("n_members"),
     )
     if min_members > 1:
-        best = best.filter(F.col("n_members") >= min_members)
-    return best.select(
+        top = top.filter(F.col("n_members") >= min_members)
+    winners = (
+        clustered.join(top, cluster_col)
+        .filter(F.col(score_col) == F.col("__s"))
+        .groupBy(cluster_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.first("__s").alias("__s2"),
+            F.first("n_members").alias("n_members"),
+        )
+    )
+    return winners.select(
         cluster_col,
-        (-F.col("__b.nid")).alias(id_col),
-        F.col("__b.s").alias(score_col),
+        id_col,
+        F.col("__s2").alias(score_col),
         "n_members",
     )

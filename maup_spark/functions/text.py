@@ -288,9 +288,12 @@ def weighted_sample(
     engines could disagree, vs the per-value grid-rounding hazard a
     key column would reintroduce).
 
-    Rows with weight <= 0 are excluded (ln-race semantics need w > 0;
-    u_i = 0 — probability 2^-60 — yields key = +inf: deterministically
-    last in both engines)."""
+    Rows with weight <= 0 are excluded (ln-race semantics need w > 0).
+    u_i = 0 (an all-zero md5 prefix, probability 2^-60) is clamped to
+    2^-60 before the log: Spark's ``F.log(0)`` returns NULL (which
+    sorts FIRST ascending — the row would win the race) while DuckDB's
+    ``-ln(0)`` is +inf (sorts last) — the clamp gives both engines the
+    same largest-finite key, deterministically last."""
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.col(id_col), F.lit(f"#{salt}"))), 1, 15),
@@ -299,6 +302,7 @@ def weighted_sample(
         ).cast("double")
         / F.lit(float(1 << 60))
     )
+    u = F.greatest(u, F.lit(2.0 ** -60))
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
         docs.filter(F.col(weight_col) > 0)
@@ -347,7 +351,17 @@ def normalize_text(
     The character classes are the Unicode-property forms ``\\p{L}`` /
     ``\\p{N}``, interpreted identically by Java regex (Spark) and RE2
     (DuckDB) — no lookaround/backrefs, so the normalized bytes are
-    engine-portable (proved by the md5 driver oracle).  Note ``\\s``
+    engine-portable (proved by the md5 driver oracle).  PINNED-TABLE
+    CAVEAT: "identically" holds only for codepoints present in the
+    OLDEST Unicode table among the engines in play (Java 17 ships
+    Unicode 13.0; CPython 3.11 ships 14.0; RE2 tracks its build's
+    ICU).  A codepoint assigned as a letter AFTER an engine's table
+    (e.g. U+A7D0, new in 14.0) is stripped by that engine and kept by
+    newer ones, so cross-engine hash parity of the normalized text is
+    guaranteed only for corpora over age-stable codepoints.  Real web
+    corpora are overwhelmingly age-stable; if exact parity on bleeding
+    -edge codepoints matters, pre-filter the corpus or pin all engines
+    to one Unicode version.  Note ``\\s``
     is the ASCII class in BOTH engines (neither enables Unicode
     character classes), so non-ASCII whitespace (NBSP, U+2028, ...)
     is STRIPPED like punctuation rather than collapsed to a space —

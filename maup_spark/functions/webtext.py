@@ -227,6 +227,7 @@ def pack_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     block: int = 1_000_000,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Token-stream sharding (the pack-and-write step of a pretraining
     pipeline): conceptually concatenate all documents in ``id_col``
@@ -246,16 +247,26 @@ def pack_shards(
     BROADCAST back.  Output is identical at any parallelism (the order
     is the id order, not the partition order).
 
-    Returns (id_col, n_tokens, start_offset, shard_id)."""
+    ``order_cols`` (default ``[id_col]``) is the composite stream
+    order: rows cumulate in lexicographic ``order_cols`` order, so a
+    (doc_id, copy_idx) or (mix_id, chunk_idx) key needs NO arithmetic
+    packing into one BIGINT (which overflows/collides at 10^12-doc
+    scale — see pipeline.build_pack).  ``id_col`` (the FIRST order
+    col) must stay numeric: it drives the block arithmetic.
+
+    Returns (*order_cols, n_tokens, start_offset, shard_id)."""
+    order = list(order_cols) if order_cols else [id_col]
+    if order[0] != id_col:
+        raise ValueError("id_col must lead order_cols (block arithmetic)")
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
     base = docs.select(
-        id_col,
+        *order,
         n_tok.alias("n_tokens"),
         F.floor(F.col(id_col) / block).alias("__blk"),
     )
     w_local = (
         Window.partitionBy("__blk")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = base.withColumn("__cum", F.sum("n_tokens").over(w_local))
@@ -269,7 +280,7 @@ def pack_shards(
     out = local.join(F.broadcast(offs.select("__blk", "__off")), "__blk")
     start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
     return out.select(
-        id_col,
+        *order,
         "n_tokens",
         start.alias("start_offset"),
         F.floor(start / tokens_per_shard).cast("long").alias("shard_id"),

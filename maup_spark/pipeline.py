@@ -191,7 +191,11 @@ def training_data_pipeline(
     #     broadcasts (eval suites are tiny vs the corpus); benchmark
     #     docs themselves are excluded from the shipped corpus.
     def build_decon():
-        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        # the bench slice must be in the SAME text form as the corpus
+        # being checked (post-PII-redaction when scrub_pii): 8-grams
+        # spanning a redacted span otherwise differ between bench and
+        # corpus and contamination near PII is undercounted
+        bench = clean_input.filter(F.col("doc_id") % 97 == 0)
         corpus = pruned.join(bench.select("doc_id"), "doc_id", "left_anti")
         leaked = (
             contamination_check(corpus, bench, n=8)
@@ -201,8 +205,12 @@ def training_data_pipeline(
         return corpus.join(leaked, "doc_id", "left_anti")
 
     final = out["final"] = runner.run_stage(
-        "decontaminate", build_decon, inputs=["substr_dedup"]
+        "decontaminate", build_decon, inputs=["substr_dedup"] + clean_deps
     )
+    # downstream stages consume `final`, whose producer changes when
+    # DSIR is enabled — track the stage NAME alongside the frame so
+    # is_stale invalidation follows the true data dependency
+    final_stage = "decontaminate"
 
     # 4d. optional DSIR importance selection: keep docs whose hashed-
     #     unigram+bigram importance score vs the curated-target slice
@@ -234,6 +242,7 @@ def training_data_pipeline(
         final = out["final"] = runner.run_stage(
             "dsir_select", build_dsir, inputs=["decontaminate"]
         )
+        final_stage = "dsir_select"
 
     # 5. entity points of surviving docs → district assignment
     def build_assigned():
@@ -249,7 +258,7 @@ def training_data_pipeline(
         ).join(pts.select("entity_id", "doc_id", "n_chars"), "entity_id")
 
     assigned = out["assigned"] = runner.run_stage(
-        "assign", build_assigned, inputs=["substr_dedup"]
+        "assign", build_assigned, inputs=[final_stage]
     )
 
     # 6. per-district rollup of clean-document character mass
@@ -269,7 +278,7 @@ def training_data_pipeline(
     out["profile"] = runner.run_stage(
         "profile",
         lambda: profile_table_sketch(final),
-        inputs=["decontaminate"],
+        inputs=[final_stage],
     )
 
     # 8. the final training mix: deterministic per-source temperature
@@ -285,14 +294,17 @@ def training_data_pipeline(
         )
 
     mixture = out["mixture"] = runner.run_stage(
-        "mixture", build_mixture, inputs=["decontaminate"]
+        "mixture", build_mixture, inputs=[final_stage]
     )
 
     # 9. token-stream sharding of the mix: every (doc, copy) gets its
     #    global start offset and shard in the concatenated token stream
     #    (two-level prefix scan — see functions.webtext.pack_shards).
-    #    pack_id orders replicas right after their original so copies
-    #    of one doc land in nearby shards deterministically.
+    #    The stream order is the COMPOSITE key (doc_id, copy_idx[,
+    #    chunk_idx]) — no arithmetic packing into one BIGINT, which
+    #    would overflow at 10^12 docs (doc_id*10^8 > BIGINT max) and
+    #    collide on long docs (chunk_idx >= 10^5) — so replicas still
+    #    land right after their original deterministically.
     # 9b. optional chunking: split each (doc, copy) into fixed token
     #     windows so pack units are training-sized (projection +
     #     explode, zero shuffle; ids stay deterministic)
@@ -301,8 +313,21 @@ def training_data_pipeline(
         from .functions.text import chunk_documents
 
         def build_chunks():
+            # mix_id = doc_id*1000 + copy_idx is safe at the design
+            # scale (10^12 docs * 1000 << BIGINT max) but ONLY while
+            # copy_idx <= 999 (mixture weight < 1000) — enforced in
+            # the expression itself (raise_error survives column
+            # pruning; a dropped assert column would not)
             mixed = mixture.withColumn(
-                "mix_id", F.col("doc_id") * 1000 + F.col("copy_idx")
+                "mix_id",
+                F.when(
+                    F.col("copy_idx") < 1000,
+                    F.col("doc_id") * 1000 + F.col("copy_idx"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit("mix_id encoding requires copy_idx < 1000")
+                    ).cast("bigint")
+                ),
             )
             ch = chunk_documents(
                 mixed.select("mix_id", "text"),
@@ -325,16 +350,16 @@ def training_data_pipeline(
         from .functions.webtext import pack_shards
 
         if chunk_tokens is not None:
-            keyed = pack_input.withColumn(
-                "pack_id",
-                F.col("mix_id") * 100_000 + F.col("chunk_idx"),
-            )
+            order = ["mix_id", "chunk_idx"]
+            lead = "mix_id"
         else:
-            keyed = pack_input.withColumn(
-                "pack_id", F.col("doc_id") * 1000 + F.col("copy_idx")
-            )
+            order = ["doc_id", "copy_idx"]
+            lead = "doc_id"
         return pack_shards(
-            keyed, tokens_per_shard=100_000, id_col="pack_id"
+            pack_input,
+            tokens_per_shard=100_000,
+            id_col=lead,
+            order_cols=order,
         )
 
     out["pack"] = runner.run_stage("pack", build_pack, inputs=[pack_from])

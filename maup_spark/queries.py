@@ -2555,8 +2555,10 @@ QUERIES["weighted_sample_docs"] = q_weighted_sample_docs
 ORACLES["weighted_sample_docs"] = f"""
 WITH w AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         -ln(CAST(concat('0x', substr(md5(doc_id || '#ws'), 1, 15)) AS BIGINT)
-             / 1152921504606846976.0)
+         -ln(greatest(
+             CAST(concat('0x', substr(md5(doc_id || '#ws'), 1, 15)) AS BIGINT)
+             / 1152921504606846976.0,
+             power(2.0, -60)))
            / CAST(length(text) AS DOUBLE) AS k
   FROM documents WHERE length(text) > 0
 )

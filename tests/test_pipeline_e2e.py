@@ -89,7 +89,7 @@ def test_training_data_pipeline_and_resume(spark, sf_dir, tmp_path):
     total = out["mixture"].select(
         F.sum(F.size(F.split("text", " "))).alias("t")
     ).collect()[0]["t"]
-    last = pack.orderBy(F.desc("pack_id")).first()
+    last = pack.orderBy(F.desc("doc_id"), F.desc("copy_idx")).first()
     assert last["start_offset"] + last["n_tokens"] == total
 
     # per-partition metrics exist for every stage

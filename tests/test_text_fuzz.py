@@ -16,16 +16,21 @@ def _hypothesis_texts(n=60):
     from hypothesis import strategies as st
 
     cases = []
-    # words over unicode letters/digits/punct restricted to the BMP:
-    # supplementary-plane codepoints added in recent Unicode versions
-    # classify differently across Java/Python/RE2 table versions (an
-    # environment skew, not an operator property); pathological seeds
-    # appended below
+    # words over unicode letters/digits/punct restricted to codepoints
+    # whose Unicode classification is age-stable across every regex
+    # table in play: Python 3.11 carries Unicode 14.0, Java 17 (Spark)
+    # carries 13.0, so any codepoint ADDED in 14.0 (e.g. U+A7D0,
+    # Latin Ext-D) is \w to the replica but not \p{L} to Spark — an
+    # environment skew, not an operator property.  Python exposes no
+    # Age property, so pin the range to 0x0000-0x04FF (ASCII, Latin-1,
+    # Latin Ext-A/B, IPA, Greek, Cyrillic): every assigned codepoint
+    # there predates Unicode 7.0, and no later version assigns new
+    # ones below 0x0500.  Pathological seeds appended below.
     token = st.text(
         alphabet=st.characters(
             whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"),
             whitelist_characters="äÉ!.,;-",
-            max_codepoint=0xFFFF,
+            max_codepoint=0x04FF,
         ),
         min_size=0,
         max_size=8,

@@ -284,6 +284,54 @@ class TestPackShards:
         )
         assert a == b
 
+    def test_composite_order_cols(self, spark):
+        # (doc_id, copy_idx) composite key: the stream order is
+        # lexicographic over BOTH columns — no arithmetic packing —
+        # and must equal the single-BIGINT encoding it replaces
+        from maup_spark.functions.webtext import pack_shards
+
+        rows = [
+            (i, c, " ".join("w" * (1 + (i * 3 + c) % 6)))
+            for i in range(60)
+            for c in range((i % 3) + 1)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, copy_idx long, text string"
+        )
+        got = sorted(
+            map(
+                tuple,
+                pack_shards(
+                    df, 16, block=7, order_cols=["doc_id", "copy_idx"]
+                ).collect(),
+            )
+        )
+        legacy = pack_shards(
+            df.withColumn(
+                "pack_id", F.col("doc_id") * 1000 + F.col("copy_idx")
+            ),
+            16,
+            id_col="pack_id",
+            block=7000,
+        )
+        want = sorted(
+            (r["pack_id"] // 1000, r["pack_id"] % 1000, r["n_tokens"],
+             r["start_offset"], r["shard_id"])
+            for r in legacy.collect()
+        )
+        assert got == want
+
+    def test_order_cols_must_lead_with_id_col(self, spark):
+        import pytest as _pytest
+
+        from maup_spark.functions.webtext import pack_shards
+
+        df = spark.createDataFrame(
+            [(1, 0, "a b")], "doc_id long, copy_idx long, text string"
+        )
+        with _pytest.raises(ValueError):
+            pack_shards(df, 8, order_cols=["copy_idx", "doc_id"])
+
     def test_stream_is_gapless(self, spark):
         from maup_spark.functions.webtext import pack_shards
 
@@ -486,6 +534,22 @@ class TestKeepBest:
         b = keep_best(self._df(spark, rows).repartition(16),
                       "cluster", "score").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_string_id_generic_path_matches_numeric_semantics(self, spark):
+        # string doc ids (urls) can't be negated; the generic two-agg
+        # path must still pick highest score, ties to lowest id
+        from maup_spark.functions.dedup import keep_best
+
+        df = spark.createDataFrame(
+            [("c", "u9", 30), ("c", "u4", 30), ("c", "u7", 20),
+             ("d", "z1", 5)],
+            "cluster string, doc_id string, score long",
+        )
+        got = {r.cluster: (r.doc_id, r.score, r.n_members)
+               for r in keep_best(df, "cluster", "score").collect()}
+        assert got == {"c": ("u4", 30, 3), "d": ("z1", 5, 1)}
+        only_dups = keep_best(df, "cluster", "score", min_members=2)
+        assert [r.cluster for r in only_dups.collect()] == ["c"]
 
 
 def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
