@@ -116,8 +116,16 @@ def _short_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.filter(F.size(F.split(F.col(text_col), " ")) < SHINGLE)
 
 
+# auto-strategy switch points: a band key is "hot" when it alone would
+# serialize a window-sort task — ratio vs the mean key population AND an
+# absolute floor so tiny corpora (where even 50× ratios are 50 rows)
+# never pay the agg path's two extra joins
+NOVELTY_SKEW_RATIO = 32.0
+NOVELTY_SKEW_MIN_MAX = 5_000
+
+
 def novelty_batch(
-    docs: DataFrame, text_col: str = "text", strategy: str = "window"
+    docs: DataFrame, text_col: str = "text", strategy: str = "auto"
 ) -> DataFrame:
     """Batch twin: a doc is novel iff it is the strict first arrival
     (min ts, then min doc_id) of EVERY one of its band keys.  Returns
@@ -130,7 +138,7 @@ def novelty_batch(
     tests/test_streaming.py.
 
     Two first-arrival strategies, identical output (parity-tested):
-    ``"window"`` (default) — ROW_NUMBER over (band, key): one exchange
+    ``"window"`` — ROW_NUMBER over (band, key): one exchange
     + per-partition sort; measured FASTER at 10^6 docs (23.2 s vs
     27.3 s steady) because band keys there are nearly all distinct, so
     sort partitions are tiny and the agg path's two extra band-row
@@ -139,7 +147,21 @@ def novelty_batch(
     map-side partial combine): the shape for corpora with HOT band
     keys (corpus-wide boilerplate), where a single key's rows would
     serialize into one window-sort task at 10^12 scale but hash aggs
-    reduce them map-side before the exchange."""
+    reduce them map-side before the exchange.
+
+    ``"auto"`` (default) measures instead of guessing (the
+    ``minhash_lsh_pairs`` ``strategy="auto"`` precedent): persist the
+    band rows, run one ``telemetry.skew_report`` hash-agg over the
+    band keys (bounded scalar collect — the components-probe idiom),
+    and take the agg path iff the heaviest key is both
+    ``NOVELTY_SKEW_RATIO``× the mean AND over the
+    ``NOVELTY_SKEW_MIN_MAX`` absolute floor.  The probe costs one
+    map-side-combined agg over rows that both strategies consume
+    anyway (persisted, so the explode isn't recomputed); a
+    boilerplate-heavy crawl flips to the skew-robust shape with no
+    manual tuning."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.dedup import minhash_signatures
 
     sigs = minhash_signatures(docs, text_col)
@@ -153,6 +175,22 @@ def novelty_batch(
     bands = signed.select(
         "doc_id", "ts", F.posexplode(keys).alias("band", "key")
     )
+    if strategy == "auto":
+        from ..telemetry import skew_report
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        rep = skew_report(
+            bands.select(F.concat_ws("\x00", "band", "key").alias("__bk")),
+            "__bk",
+            top_n=1,
+        )
+        hot = (
+            rep["max"] >= NOVELTY_SKEW_MIN_MAX
+            and rep["skew_ratio"] >= NOVELTY_SKEW_RATIO
+        )
+        strategy = "agg" if hot else "window"
+        # observability hook (bench/tests assert the switch engages)
+        novelty_batch.last_auto = strategy
     if strategy == "window":
         w = Window.partitionBy("band", "key").orderBy("ts", "doc_id")
         firsts = bands.withColumn("__rn", F.row_number().over(w))

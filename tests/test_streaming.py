@@ -211,6 +211,33 @@ def test_novelty_batch_strategies_identical(spark, sf_dir):
     a = {r["doc_id"] for r in novelty_batch(docs, strategy="agg").collect()}
     w = {r["doc_id"] for r in novelty_batch(docs, strategy="window").collect()}
     assert a == w and a
+    # auto on a near-distinct-key corpus: picks window, same output
+    u = {r["doc_id"] for r in novelty_batch(docs, strategy="auto").collect()}
+    assert u == w
+    assert novelty_batch.last_auto == "window"
+
+
+def test_novelty_auto_engages_agg_on_hot_band(spark):
+    """Forced boilerplate: thousands of docs share one shingle set, so
+    one band key dwarfs the mean and auto must flip to the skew-robust
+    agg strategy — with output identical to the window formulation."""
+    from pyspark.sql import functions as F
+
+    from maup_spark.streaming.novelty import novelty_batch
+
+    boiler = "the same cookie banner text appears on every single page"
+    docs = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13).alias("ts"),
+        F.when(F.col("id") % 10 < 9, F.lit(boiler))
+        .otherwise(F.concat(F.lit("unique page body "), F.col("id"),
+                            F.lit(" with distinct words and padding")))
+        .alias("text"),
+    )
+    auto = {r["doc_id"] for r in novelty_batch(docs, strategy="auto").collect()}
+    assert novelty_batch.last_auto == "agg"
+    win = {r["doc_id"] for r in novelty_batch(docs, strategy="window").collect()}
+    assert auto == win and auto
 
 
 def test_streaming_profile_merges_to_batch_exact(spark, tmp_path):
