@@ -100,6 +100,35 @@ def _fam(cnt_col) -> "F.Column":
     ).cast("long")
 
 
+def bucketed_grams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    hash_fn: str = "md5",
+    id_col: str | None = None,
+) -> DataFrame:
+    """DataFrame[(id_col,)? bucket] — one row per hashed-gram
+    OCCURRENCE.  The shared front half of model counting and document
+    scoring: persist this once and both ``counts_from_buckets`` and
+    ``dsir_score`` consume it, so the corpus-wide explode + md5 chain
+    (the dominant cost — ~79 gram rows/doc) runs ONE time instead of
+    once per consumer."""
+    cols = [F.col(id_col)] if id_col else []
+    grams = docs.select(
+        *cols, F.explode(_grams12(F.col(text_col))).alias("gram")
+    )
+    keep = [id_col] if id_col else []
+    return grams.select(
+        *keep, _bucket(F.col("gram"), n_buckets, hash_fn).alias("bucket")
+    )
+
+
+def counts_from_buckets(bucketed: DataFrame) -> DataFrame:
+    """``hashed_gram_counts`` from a pre-bucketed occurrence table —
+    one map-side-combinable hash-agg over <= n_buckets keys."""
+    return bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+
+
 def hashed_gram_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -112,11 +141,8 @@ def hashed_gram_counts(
     ONE explode + map-side-combinable hash-agg; the bounded key space
     means even a degenerate single-gram corpus cannot create a task-
     serializing hot key (partial combine collapses it per partition)."""
-    grams = docs.select(F.explode(_grams12(F.col(text_col))).alias("gram"))
-    return (
-        grams.select(_bucket(F.col("gram"), n_buckets, hash_fn).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("cnt"))
+    return counts_from_buckets(
+        bucketed_grams(docs, text_col, n_buckets, hash_fn)
     )
 
 
@@ -140,18 +166,25 @@ def dsir_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame[id_col, n_grams, score] — per-document integer
     importance score under a ``dsir_ratio`` table built with the SAME
     ``n_buckets``.  Explode -> BROADCAST ratio join -> one per-doc
     aggregation; every document emits a row (the unigram list is
-    non-empty even for empty text under the split-on-space grammar)."""
-    grams = raw_docs.select(
-        F.col(id_col), F.explode(_grams12(F.col(text_col))).alias("gram")
-    )
-    bucketed = grams.select(
-        id_col, _bucket(F.col("gram"), n_buckets, hash_fn).alias("bucket")
-    )
+    non-empty even for empty text under the split-on-space grammar).
+
+    Pass ``bucketed`` (a persisted ``bucketed_grams(raw_docs,
+    id_col=...)``) to reuse an explode the raw model counting already
+    paid for — the train+score fixed-cost cut: one corpus scan feeds
+    both the model and the scorer."""
+    if bucketed is None:
+        grams = raw_docs.select(
+            F.col(id_col), F.explode(_grams12(F.col(text_col))).alias("gram")
+        )
+        bucketed = grams.select(
+            id_col, _bucket(F.col("gram"), n_buckets, hash_fn).alias("bucket")
+        )
     j = bucketed.join(F.broadcast(ratio), "bucket", "left")
     return j.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),

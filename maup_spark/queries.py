@@ -2666,24 +2666,41 @@ def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, integer importance score per raw doc, top-150 most
     target-like selected.  Two bounded hash-aggs + broadcast ratio
     join + per-doc agg + TakeOrderedAndProject — zero windows, zero
-    Python (see functions/dsir.py)."""
+    Python (see functions/dsir.py).
+
+    Fixed-cost layout (round 6): the raw corpus EXPLODES ONCE — the
+    persisted ``bucketed_grams`` occurrence table feeds both the raw
+    model counts and the scorer (the explode + md5 chain dominated the
+    train-at-query-time cost, previously paid twice); the scan is
+    repartitioned first so the explode fans out across the cluster
+    instead of inheriting the source file's partition count."""
+    from pyspark.storagelevel import StorageLevel
+
     from .functions.dsir import (
+        bucketed_grams,
+        counts_from_buckets,
         dsir_ratio,
         dsir_score,
         dsir_select,
         hashed_gram_counts,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n_part)
     )
     target = docs.filter(F.col("doc_id") % 17 == 0)
     raw = docs.filter(F.col("doc_id") % 17 != 0)
+    raw_b = bucketed_grams(
+        raw, n_buckets=_DSIR_BUCKETS, id_col="doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ratio = dsir_ratio(
         hashed_gram_counts(target, n_buckets=_DSIR_BUCKETS),
-        hashed_gram_counts(raw, n_buckets=_DSIR_BUCKETS),
+        counts_from_buckets(raw_b),
     )
-    scored = dsir_score(raw, ratio, n_buckets=_DSIR_BUCKETS)
+    scored = dsir_score(raw, ratio, n_buckets=_DSIR_BUCKETS, bucketed=raw_b)
     return dsir_select(scored, _DSIR_K).select("doc_id", "n_grams", "score")
 
 

@@ -146,7 +146,11 @@ def _extra_stages(spark, sf_dir):
         # DSIR production hash: xxhash64 bucket (one codegen intrinsic)
         # instead of the oracle-portable md5-hex+conv chain — same plan
         # shape, same bounded models, different (Spark-only) hash
+        from pyspark.storagelevel import StorageLevel
+
         from maup_spark.functions.dsir import (
+            bucketed_grams,
+            counts_from_buckets,
             dsir_ratio,
             dsir_score,
             dsir_select,
@@ -159,11 +163,17 @@ def _extra_stages(spark, sf_dir):
         target = docs.filter(F.col("doc_id") % 17 == 0)
         raw = docs.filter(F.col("doc_id") % 17 != 0)
         B, H = 4096, "xxhash64"
+        # round-6 fixed-cost layout: raw explodes once (persisted
+        # occurrence table feeds model counts AND scorer)
+        raw_b = bucketed_grams(raw, n_buckets=B, hash_fn=H, id_col="doc_id")
+        raw_b = raw_b.persist(StorageLevel.MEMORY_AND_DISK)
         ratio = dsir_ratio(
             hashed_gram_counts(target, n_buckets=B, hash_fn=H),
-            hashed_gram_counts(raw, n_buckets=B, hash_fn=H),
+            counts_from_buckets(raw_b),
         )
-        return dsir_select(dsir_score(raw, ratio, n_buckets=B, hash_fn=H), 150)
+        return dsir_select(
+            dsir_score(raw, ratio, n_buckets=B, hash_fn=H, bucketed=raw_b), 150
+        )
 
     def novelty_auto_hotband(spark, sf_dir):
         # FORCED hot band key (judge r5 item 2): 90% of docs carry
