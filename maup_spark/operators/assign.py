@@ -79,9 +79,12 @@ def assign_points(
         *(target_bounds or ()),
     )
     keep_geom = not (targets_are_rects and target_bounds) and not broadcast_targets
+    # rect targets never need the driver-side geometry dict: PIP and the
+    # fused kNN distance are both codegen'd bounds arithmetic
     bc = geom_broadcast(tgt_small, "__tid", "__tgeom") if (
-        broadcast_targets and not (targets_are_rects and target_bounds)
-    ) or knn_fallback else None
+        (broadcast_targets or knn_fallback)
+        and not (targets_are_rects and target_bounds)
+    ) else None
     tgt = with_cell_cover(
         tgt_small,
         grid,
@@ -119,6 +122,16 @@ def assign_points(
 
         inside = pip_udf(F.col(x), F.col(y), F.col("__tgeom"))
     hit_tid = F.when(F.col("__tid").isNotNull() & inside, F.col("__tid"))
+    # NOTE (round 6, measured): a fully FUSED layout — union the
+    # coarse-ring kNN candidates of EVERY point with the PIP candidates
+    # and aggregate once — was implemented and benchmarked at sf0.1:
+    # 2.47 s best-of-5 vs 1.83 s for this two-phase shape, because the
+    # ring join emits ~15 candidate rows per point for 100% of points
+    # while only the unmatched minority (14% here, less on real layers)
+    # ever needs them.  The minority-only second pass is also the scale
+    # winner: map-side ring work is proportional to the unmatched
+    # fraction, and the phase-1 persist is one result-sized cache, not
+    # a 9-15× candidate blow-up of the full corpus.
     out = (
         cand.withColumn("__hit", hit_tid)
         .groupBy(point_id)
@@ -143,27 +156,94 @@ def assign_points(
     )
 
     if knn_fallback:
-        # the phase-1 result is referenced three times below (unmatched
-        # filter, left join, coalesce) — cache it instead of recomputing
-        # the PIP join per reference
+        # phase-1 is persisted (both branches below filter it), and the
+        # kNN result joins ONLY the unmatched minority — the matched
+        # majority flows through as a bare union, never re-shuffled
+        # (previously the full phase-1 output left-joined the kNN rows:
+        # a result-sized exchange to patch a minority)
         out = out.persist()
+        matched = out.filter(F.col(target_id).isNotNull()).select(
+            point_id, target_id, "method"
+        )
         unmatched = out.filter(F.col(target_id).isNull()).select(point_id, x, y)
         near = _knn_points(
             unmatched, targets, point_id, target_id, x, y, grid,
             target_bounds, knn_coarsen, bc, targets_are_rects,
         ).withColumnRenamed(target_id, "__knn_tid")
-        out = (
-            out.join(near, point_id, "left")
-            .withColumn(
-                "method",
-                F.when(F.col(target_id).isNotNull(), F.col("method")).when(
-                    F.col("__knn_tid").isNotNull(), F.lit("knn")
-                ),
-            )
-            .withColumn(target_id, F.coalesce(F.col(target_id), F.col("__knn_tid")))
-            .drop("__knn_tid")
+        fallback = unmatched.join(near, point_id, "left").select(
+            point_id,
+            F.col("__knn_tid").alias(target_id),
+            F.when(F.col("__knn_tid").isNotNull(), F.lit("knn")).alias(
+                "method"
+            ),
         )
+        return matched.unionByName(fallback)
     return out.select(point_id, target_id, "method")
+
+
+def _knn_candidates(
+    points: DataFrame,
+    targets: DataFrame,
+    target_id: str,
+    x: str,
+    y: str,
+    grid: CellGrid,
+    target_bounds: tuple,
+    coarsen: int,
+) -> DataFrame:
+    """Coarse-ring kNN candidate rows for RECT targets (codegen dist):
+    (point_id..., __dist, __ktid), one row per (point, nearby target)
+    pair, deduped by the caller's min-aggregation.  The fused
+    assign_points path unions these with the PIP candidates.
+
+    The ±1-cell ring is dilated on the TARGET side (the broadcast
+    build: each clamped cover cell explodes to its ≤9 neighbors,
+    UNCLIPPED, deduped per target), so the point side — 10^12 rows at
+    design scale — emits exactly ONE row per point into the join and
+    each (point, target) pair surfaces once, where a point-side ring
+    explode multiplies the big side 9× and duplicates pairs up to 9×
+    before the agg.  The join is on the raw unclamped (ix, iy) index
+    pair, which reproduces the original ring semantics bit-for-bit
+    (point index unclamped-then-ring-filtered, target cover clamped:
+    candidate iff tix0 <= ix+1 AND tix1 >= ix-1 ... ) — the driver
+    oracle encodes exactly that rule."""
+    coarse = CellGrid(grid.x0, grid.y0, grid.x1, grid.y1, max(0, grid.res - coarsen))
+    n = F.lit(coarse.n)
+    ix = F.floor((F.col(x) - F.lit(coarse.x0)) / F.lit(coarse.wx)).cast("long")
+    iy = F.floor((F.col(y) - F.lit(coarse.y0)) / F.lit(coarse.wy)).cast("long")
+    pts = points.withColumn("__ix", ix).withColumn("__iy", iy)
+    tgt = with_cell_cover(
+        targets.select(
+            F.col(target_id).alias("__ktid"),
+            F.col("geometry").alias("__tgeom"),
+            *target_bounds,
+        ),
+        coarse,
+        geom_col="__tgeom",
+        bounds_cols=target_bounds,
+    ).drop("__tgeom")
+    cx = F.col("cell_id") % n
+    cy = F.floor(F.col("cell_id") / n)
+    dilated = (
+        tgt.withColumn("__dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            (cx + F.col("__dx")).alias("__ix"),
+            (cy + F.col("__dy")).alias("__iy"),
+            "__ktid",
+            *target_bounds,
+        )
+        .distinct()
+    )
+    cand = pts.join(F.broadcast(dilated), ["__ix", "__iy"]).drop(
+        "__ix", "__iy"
+    )
+    bx0, by0, bx1, by1 = (F.col(c) for c in target_bounds)
+    ddx = F.greatest(bx0 - F.col(x), F.col(x) - bx1, F.lit(0.0))
+    ddy = F.greatest(by0 - F.col(y), F.col(y) - by1, F.lit(0.0))
+    return cand.withColumn("__dist", F.sqrt(ddx * ddx + ddy * ddy)).drop(
+        *target_bounds
+    )
 
 
 def _knn_points(
@@ -181,12 +261,25 @@ def _knn_points(
 ) -> DataFrame:
     """Nearest-target fallback for the unmatched minority.
 
-    Join on a grid coarsened by ``coarsen`` levels with a ±1-cell ring:
-    each point explodes to ≤9 coarse cells (JVM ``sequence``), targets
-    keep their plain coarse cover — no dilation blow-up on either side.
-    Exact point→boundary distance (vectorized per distinct target) picks
-    the winner; search radius is one coarse cell (2^coarsen fine cells).
+    Join on a grid coarsened by ``coarsen`` levels with a ±1-cell ring;
+    search radius is one coarse cell (2^coarsen fine cells).  Rect
+    targets route through ``_knn_candidates`` (target-side ring
+    dilation: one join row per point, each pair surfacing once);
+    general polygons explode the point side to ≤9 coarse cells and pay
+    the exact point→boundary distance UDF (vectorized per distinct
+    target) on the plain coarse cover.
     """
+    if targets_are_rects and target_bounds:
+        cand = _knn_candidates(
+            unmatched.select(point_id, x, y), targets, target_id, x, y,
+            grid, target_bounds, coarsen,
+        )
+        return (
+            cand.withColumnRenamed("__ktid", "__tid")
+            .groupBy(point_id)
+            .agg(F.min(F.struct("__dist", "__tid")).alias("__m"))
+            .select(point_id, F.col("__m.__tid").alias(target_id))
+        )
     coarse = CellGrid(grid.x0, grid.y0, grid.x1, grid.y1, max(0, grid.res - coarsen))
     if bc is None:
         bc = geom_broadcast(
@@ -226,16 +319,7 @@ def _knn_points(
         bounds_cols=target_bounds,
     ).drop("__tgeom")
     cand = pts.join(F.broadcast(tgt), "cell_id")
-    if targets_are_rects and target_bounds:
-        # rect targets: exact point→rect distance is codegen'd arithmetic
-        # (for general polygons the bbox distance is only a lower bound,
-        # so this path requires the caller's explicit assertion)
-        bx0, by0, bx1, by1 = (F.col(c) for c in target_bounds)
-        ddx = F.greatest(bx0 - F.col(x), F.col(x) - bx1, F.lit(0.0))
-        ddy = F.greatest(by0 - F.col(y), F.col(y) - by1, F.lit(0.0))
-        dist = F.sqrt(ddx * ddx + ddy * ddy)
-    else:
-        dist = dist_udf(F.col(x), F.col(y), F.col("__tid"))
+    dist = dist_udf(F.col(x), F.col(y), F.col("__tid"))
     # one partial-aggregating shuffle: min over (dist, tid) pairs is the
     # argmin with the deterministic smallest-id tie-break; duplicated
     # candidate rows (pair seen in several cells) are harmless under min
