@@ -88,6 +88,7 @@ def intersections(
     keep_geometry: bool = True,
     carry_source_cols: tuple = (),
     exact_kernel: str = "auto",
+    max_cells: int | None = 4096,
 ) -> DataFrame:
     """All nonempty pairwise intersections.
 
@@ -152,6 +153,7 @@ def intersections(
             source_bounds=source_bounds,
             target_bounds=target_bounds,
             drop_target_geom=True,
+            max_cells=max_cells,
         )
         ix_udf = make_intersection_by_id_udf(bc, _IX_SCHEMA, exact_kernel)
         ix_col = ix_udf(F.col("__tid"), F.col("__sgeom"))
@@ -169,6 +171,7 @@ def intersections(
             broadcast_targets=False,
             source_bounds=source_bounds,
             target_bounds=target_bounds,
+            max_cells=max_cells,
         )
         ix_col = (
             _intersection_udf_arrangement

@@ -142,6 +142,30 @@ def with_bounds(
     return out.select(*keep)
 
 
+def _attach_bounds(
+    df: DataFrame,
+    geom_col: str,
+    prefix: str,
+    bounds_cols: tuple[str, str, str, str] | None,
+) -> DataFrame:
+    """Ensure ``{prefix}xmin…ymax`` exist: rename caller-supplied bounds
+    columns, run the (single) bounds UDF, or no-op if already attached."""
+    if f"{prefix}xmin" in df.columns:
+        return df
+    if bounds_cols is not None:
+        for b, c in zip(BOUNDS, bounds_cols):
+            df = df.withColumn(f"{prefix}{b}", F.col(c))
+        return df
+    return with_bounds(df, geom_col, prefix)
+
+
+def _cover_span_cells(grid: CellGrid, prefix: str) -> Column:
+    """Number of grid cells a row's bbox cover would explode to."""
+    nx = _ix_of(grid, F.col(f"{prefix}xmax")) - _ix_of(grid, F.col(f"{prefix}xmin")) + 1
+    ny = _iy_of(grid, F.col(f"{prefix}ymax")) - _iy_of(grid, F.col(f"{prefix}ymin")) + 1
+    return nx * ny
+
+
 def with_cell_cover(
     df: DataFrame,
     grid: CellGrid,
@@ -155,15 +179,11 @@ def with_cell_cover(
     ``{bounds_prefix}xmin…ymax``.
 
     The explode itself is pure JVM ``sequence``; Python only runs (once)
-    if the layer has no bounds columns.
+    if the layer has no bounds columns.  A frame that already carries
+    ``{bounds_prefix}xmin…ymax`` (pre-attached by the caller, e.g. for a
+    cover-size split) is used as-is.
     """
-    if bounds_cols is not None:
-        ren = df
-        for b, c in zip(BOUNDS, bounds_cols):
-            ren = ren.withColumn(f"{bounds_prefix}{b}", F.col(c))
-        df = ren
-    else:
-        df = with_bounds(df, geom_col, bounds_prefix)
+    df = _attach_bounds(df, geom_col, bounds_prefix, bounds_cols)
     xmin, ymin, xmax, ymax = (F.col(f"{bounds_prefix}{b}") for b in BOUNDS)
     d = F.lit(float(dilate))
     ix0 = _ix_of(grid, xmin - d * F.lit(grid.wx))
@@ -465,6 +485,52 @@ def salted_join(
     )
 
 
+# sentinel cell ids for the bounded-fan-out protocol (real cells are >= 0)
+BIG_SRC_CELL = -1  # oversized sources meet small targets here
+BIG_TGT_CELL = -2  # every source meets oversized targets here
+
+
+def _cover_for_join(
+    df: DataFrame,
+    grid: CellGrid,
+    prefix: str,
+    max_cells: int | None,
+    collapse_to: int,
+    extra_cell: int | None,
+    extra_on_small_only: bool = False,
+) -> DataFrame:
+    """Single-scan cell cover with bounded fan-out: rows whose fine
+    cover exceeds ``max_cells`` collapse to one ``collapse_to`` sentinel
+    row; ``extra_cell`` (if set) appends one sentinel row per geometry
+    (per *small* geometry when ``extra_on_small_only``) so the other
+    side's collapsed rows have a meeting key.  One explode, no second
+    scan, no per-row resolution switch."""
+    xmin, ymin, xmax, ymax = (F.col(f"{prefix}{b}") for b in BOUNDS)
+    ix0, ix1 = _ix_of(grid, xmin), _ix_of(grid, xmax)
+    iy0, iy1 = _iy_of(grid, ymin), _iy_of(grid, ymax)
+    n = F.lit(grid.n)
+    fine = F.flatten(
+        F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: iy * n + ix),
+        )
+    )
+    if max_cells is None:
+        cells = fine
+    else:
+        is_big = (ix1 - ix0 + 1) * (iy1 - iy0 + 1) > F.lit(max_cells)
+        cells = F.when(is_big, F.array(F.lit(collapse_to).cast("long"))).otherwise(
+            fine
+        )
+        if extra_cell is not None:
+            extra = F.array(F.lit(extra_cell).cast("long"))
+            if extra_on_small_only:
+                cells = F.when(is_big, cells).otherwise(F.concat(cells, extra))
+            else:
+                cells = F.concat(cells, extra)
+    return df.withColumn("cell_id", F.explode(cells))
+
+
 def candidate_pairs(
     sources: DataFrame,
     targets: DataFrame,
@@ -477,6 +543,7 @@ def candidate_pairs(
     drop_source_geom: bool = False,
     drop_target_geom: bool = False,
     salt_skew: bool = True,
+    max_cells: int = 4096,
 ) -> DataFrame:
     """Cell-join candidate (source, target) pairs — exactly one row per
     pair via the reference-point rule (module docstring), no shuffle.
@@ -485,17 +552,57 @@ def candidate_pairs(
     computed, so WKB never rides the join (use with broadcast-geometry
     refine UDFs).  Column name collisions between the two sides must be
     resolved by the caller (alias geometry columns before calling).
+
+    **Bounded fan-out** (``max_cells``): a row whose bbox cover would
+    explode past ``max_cells`` grid cells (a continent in a layer of
+    city blocks — the adaptive grid tunes res to the TYPICAL geometry,
+    so a 100×-outlier would fan out 10^4+ cover rows) never enters the
+    explode.  Oversized rows collapse to *sentinel cells* inside the
+    same single-scan cover and ride the same equi-join:
+
+    - a big SOURCE row emits one ``BIG_SRC_CELL`` row instead of its
+      fine cover; every small target adds one ``BIG_SRC_CELL`` row to
+      its cover (+1 row on the indexed side — negligible), so the pair
+      meets exactly once and a post-join bbox filter replaces the cell
+      co-location guarantee;
+    - big TARGET rows emit one ``BIG_TGT_CELL`` row, and every source
+      adds one ``BIG_TGT_CELL`` row — but only after a cheap driver
+      probe of the (indexed, small) target side confirms oversized
+      targets exist, so the 10^12-row source side never pays +1 row
+      per row for a protection it doesn't need.  When they do exist,
+      the honest candidate set IS every-source × each-continent; the
+      sentinel join produces exactly that, bbox-filtered, without a
+      second source scan.
+
+    The sentinel pairs are disjoint from the fine-cell pairs (a row is
+    either collapsed or exploded, never both), so no dedup is needed.
+    ``max_cells=None`` disables the protection.
     """
-    s = with_cell_cover(
-        sources, grid, source_geom, bounds_prefix="__s_", bounds_cols=source_bounds
-    )
+    s0 = _attach_bounds(sources, source_geom, "__s_", source_bounds)
     if drop_source_geom and source_geom:
-        s = s.drop(source_geom)
-    t = with_cell_cover(
-        targets, grid, target_geom, bounds_prefix="__t_", bounds_cols=target_bounds
-    )
+        s0 = s0.drop(source_geom)
+    t0 = _attach_bounds(targets, target_geom, "__t_", target_bounds)
     if drop_target_geom and target_geom:
-        t = t.drop(target_geom)
+        t0 = t0.drop(target_geom)
+    big_targets_exist = False
+    if max_cells is not None:
+        # driver probe on the indexed side only (one small codegen'd
+        # aggregation; the source side is never scanned for this)
+        big_targets_exist = (
+            t0.filter(_cover_span_cells(grid, "__t_") > max_cells).limit(1).count()
+            > 0
+        )
+    s = _cover_for_join(
+        s0, grid, "__s_", max_cells,
+        collapse_to=BIG_SRC_CELL,
+        extra_cell=BIG_TGT_CELL if big_targets_exist else None,
+    )
+    t = _cover_for_join(
+        t0, grid, "__t_", max_cells,
+        collapse_to=BIG_TGT_CELL,
+        extra_cell=BIG_SRC_CELL if max_cells is not None else None,
+        extra_on_small_only=True,
+    )
     if broadcast_targets:
         joined = s.join(F.broadcast(t), "cell_id")
     else:
@@ -517,6 +624,18 @@ def candidate_pairs(
         F.greatest("__s_xmin", "__t_xmin"),
         F.greatest("__s_ymin", "__t_ymin"),
     )
-    joined = joined.filter(ref_cell == F.col("cell_id"))
+    # fine cells: reference-point dedup; sentinel cells: the pair met
+    # exactly once by construction, but needs the explicit bbox-overlap
+    # check the cell co-location no longer provides
+    overlap = (
+        (F.col("__s_xmin") <= F.col("__t_xmax"))
+        & (F.col("__s_xmax") >= F.col("__t_xmin"))
+        & (F.col("__s_ymin") <= F.col("__t_ymax"))
+        & (F.col("__s_ymax") >= F.col("__t_ymin"))
+    )
+    keep = F.when(F.col("cell_id") < 0, overlap).otherwise(
+        ref_cell == F.col("cell_id")
+    )
+    joined = joined.filter(keep)
     drop = ["cell_id"] + [f"{p}{b}" for p in ("__s_", "__t_") for b in BOUNDS]
     return joined.drop(*drop)
