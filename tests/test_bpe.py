@@ -77,3 +77,29 @@ def test_trained_pin_matches_independent_trainer(spark):
         n_merges=_BPE_TRAIN_NMERGES,
     )
     assert learned == _BPE_PIN_MERGES
+
+
+def test_distributed_strategy_matches_driver(spark):
+    """strategy="distributed" (per-round DataFrame agg + JVM aggregate
+    merge fold) must reproduce the driver loop's merge table exactly,
+    including tie-breaks and the <2-count early stop."""
+    docs = _docs(spark)
+    drv = bpe_train_merges(docs, n_merges=8, strategy="driver")
+    dist = bpe_train_merges(docs, n_merges=8, strategy="distributed")
+    assert dist == drv
+
+
+def test_distributed_strategy_matches_driver_on_corpus_slice(spark):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    docs = docs.filter(F.col("doc_id") < 40)
+    drv = bpe_train_merges(docs, n_merges=24, strategy="driver")
+    dist = bpe_train_merges(docs, n_merges=24, strategy="distributed")
+    assert dist == drv and len(drv) == 24
