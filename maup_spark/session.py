@@ -43,4 +43,21 @@ def get_spark(
         builder = builder.config("spark.local.dir", shm)
     except OSError:
         pass
+    # Iceberg runtime probe: when the iceberg-spark-runtime jar is on the
+    # classpath (SPARK_GRAFT_ICEBERG_JARS, or spark.jars via spark-submit
+    # --packages), configure the `lake` catalog so io/table.py's real
+    # writeTo(...).using("iceberg") path switches on.  In the jar-less
+    # sandbox this is a no-op and the parquet fallback carries the
+    # partitioning (SURVEY §6).
+    jars = os.environ.get("SPARK_GRAFT_ICEBERG_JARS")
+    if jars:
+        from .io.table import configure_iceberg
+
+        builder = builder.config("spark.jars", jars)
+        builder = configure_iceberg(
+            builder,
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/maup_spark_warehouse"
+            ),
+        )
     return builder.getOrCreate()

@@ -115,3 +115,23 @@ def test_configure_iceberg_builder_confs():
     assert applied["spark.sql.catalog.lake.type"] == "hadoop"
     assert applied["spark.sql.catalog.lake.warehouse"] == "/warehouse"
     assert "Iceberg" in applied["spark.sql.extensions"]
+
+
+def test_iceberg_real_roundtrip(spark, events):
+    """INTEGRATION (auto-skips without the runtime): when the session
+    has a real Iceberg catalog (get_spark probes SPARK_GRAFT_ICEBERG_JARS
+    and configures the `lake` hadoop catalog), write_table must create a
+    real Iceberg table with days() hidden partitioning and read_table
+    must round-trip it.  In an environment with
+    iceberg-spark-runtime on the classpath this flips from skip to pass
+    with no code change."""
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime in this session (jar/catalog absent)")
+    target = "lake.it.pages_roundtrip"
+    write_table(events, target, partition_col="warc_ts")
+    back = read_table(spark, target)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    # snapshot metadata proves it's a real Iceberg table, not parquet
+    assert spark.sql(f"SELECT COUNT(*) FROM {target}.snapshots").collect()[0][0] >= 1
+    write_table(events, target, partition_col="warc_ts", mode="append")
+    assert read_table(spark, target).count() == 4
