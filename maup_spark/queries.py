@@ -1674,10 +1674,58 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (30-min gap) through the batch twin the
+    streaming `applyInPandasWithState` operator is parity-tested
+    against — this row anchors the streaming semantics to a
+    driver-gated truth.  Values ride a cents grid (exact-in-double
+    BIGINT-ish sums) so the hash is order-invariant cross-engine."""
+    from .streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * F.lit(100.0)).alias("value"),
+    )
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("value_sum").cast("bigint").alias("value_sum_c"),
+    )
+
+
+def q_sessionize_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-boundary semantics gate: timestamps truncated to the minute
+    with gap = exactly 120 s forces many pairs exactly AT the gap — an
+    implementation that splits on `>= gap` instead of `> gap` (or
+    mis-rounds the timeout boundary) diverges here, where the natural
+    microsecond data never ties."""
+    from .streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    out = sessionize_batch(ev, gap_seconds=120)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("value_sum").cast("bigint").alias("n_sum"),
+    )
+
+
 QUERIES.update(
     {
         "events_windowed": q_events_windowed,
         "orders_rollup": q_orders_rollup,
+        "sessionize_events": q_sessionize_events,
+        "sessionize_boundary": q_sessionize_boundary,
     }
 )
 
@@ -1695,6 +1743,45 @@ SELECT c_mktsegment, o_orderstatus,
        CAST(SUM(CAST(ROUND(o_totalprice * 100.0e0) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
+""",
+        "sessionize_events": """
+WITH flagged AS (
+  SELECT user_id, ts, ROUND(value * 100.0e0) AS value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(value) AS BIGINT) AS value_sum_c
+FROM sess GROUP BY user_id, sid
+""",
+        "sessionize_boundary": """
+WITH ev AS (
+  SELECT user_id, date_trunc('minute', ts) AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 120
+              THEN 1 ELSE 0 END AS newf
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, CAST(COUNT(*) AS BIGINT) AS n_sum
+FROM sess GROUP BY user_id, sid
 """,
     }
 )
