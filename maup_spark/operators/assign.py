@@ -85,8 +85,30 @@ def assign_points(
         (broadcast_targets or knn_fallback)
         and not (targets_are_rects and target_bounds)
     ) else None
+    # Bounded fan-out for the broadcast-geometry path (bc already holds
+    # every target WKB on the driver, so the oversized check is FREE —
+    # no extra Spark job): a continent-sized target would explode its
+    # bbox cover into up to 2^(2·res) broadcast rows; instead it leaves
+    # the cover and meets the points through a gated bbox nested-loop
+    # branch (only present when outliers actually exist).
+    big_tids: list = []
+    if bc is not None and broadcast_targets:
+        from ..geom import vector as V
+
+        items = list(bc.value.items())
+        bnds = V.batch_bounds([w for _, w in items])
+        for (tid, _), bxmin, bymin, bxmax, bymax in zip(
+            items, bnds["xmin"], bnds["ymin"], bnds["xmax"], bnds["ymax"]
+        ):
+            nx = int((bxmax - bxmin) // grid.wx) + 1
+            ny = int((bymax - bymin) // grid.wy) + 1
+            if min(nx, grid.n) * min(ny, grid.n) > 4096:
+                big_tids.append(tid)
+    cover_src = tgt_small
+    if big_tids:
+        cover_src = tgt_small.filter(~F.col("__tid").isin(big_tids))
     tgt = with_cell_cover(
-        tgt_small,
+        cover_src,
         grid,
         geom_col="__tgeom",
         bounds_cols=target_bounds,
@@ -101,6 +123,23 @@ def assign_points(
     cand = pts.join(
         F.broadcast(tgt) if broadcast_targets else tgt, "cell_id", "left"
     )
+    if big_tids:
+        from .spatial import with_bounds
+
+        big_df = with_bounds(
+            tgt_small.filter(F.col("__tid").isin(big_tids)).select(
+                "__tid", "__tgeom"
+            ),
+            "__tgeom",
+        ).drop("__tgeom")
+        in_bbox = (
+            (F.col(x) >= F.col("__b_xmin"))
+            & (F.col(x) <= F.col("__b_xmax"))
+            & (F.col(y) >= F.col("__b_ymin"))
+            & (F.col(y) <= F.col("__b_ymax"))
+        )
+        big_cand = pts.join(F.broadcast(big_df), in_bbox, "inner")
+        cand = cand.unionByName(big_cand, allowMissingColumns=True)
     if targets_are_rects and target_bounds:
         # rect targets: PIP is codegen'd bounds arithmetic — the whole
         # operator is JVM-only.  Closed bounds reproduce the reference's

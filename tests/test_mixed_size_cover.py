@@ -118,3 +118,39 @@ def test_capped_cover_both_sides_big(spark):
     cand = candidate_pairs(src, tgt, GRID, target_geom="tgeom", max_cells=64)
     got = sorted((r["sid"], r["tid"]) for r in cand.select("sid", "tid").collect())
     assert got == [(1, 10), (1, 11), (2, 10)]
+
+
+def test_assign_points_big_target_branch(spark):
+    """Point-assign broadcast path: a continent-sized polygon target is
+    detected driver-side (free — bounds from the already-collected
+    geometry broadcast) and meets the points through the gated bbox
+    branch instead of a 65k-row cover explode.  Results must be
+    identical to a coarse grid where nothing is oversized."""
+    from maup_spark.operators.assign import assign_points
+
+    # 200 points on a diagonal; targets: a continent + two small tiles
+    pts = spark.createDataFrame(
+        [(i, -9.9 + i * 0.0999, -9.9 + i * 0.0999) for i in range(200)],
+        "pid bigint, lon double, lat double",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, sq_wkb(-9.75, -9.75, 9.75, 9.75)),   # continent (big at res 8)
+            (2, sq_wkb(-9.0, -9.0, -8.5, -8.5)),     # tile inside continent
+            (3, sq_wkb(9.76, 9.76, 9.9, 9.9)),       # tile outside continent
+        ],
+        "tid bigint, geometry binary",
+    )
+    kw = dict(point_id="pid", target_id="tid")
+    fine = assign_points(pts, tgt, grid=GRID, **kw)  # continent oversized
+    coarse_grid = CellGrid(x0=-10, y0=-10, x1=10, y1=10, res=2)
+    coarse = assign_points(pts, tgt, grid=coarse_grid, **kw)  # nothing big
+    key = lambda r: (r["pid"], r["tid"], r["method"])
+    got, want = sorted(map(key, fine.collect())), sorted(map(key, coarse.collect()))
+    assert got == want
+    # sanity on semantics: points inside ONLY the continent are assigned
+    # to it; points also inside tile 2 multi-cover to NULL
+    by_pid = {p: t for p, t, _ in got}
+    assert by_pid[100] == 1          # centre of the continent only
+    assert by_pid[12] is None        # inside continent AND tile 2
+    assert by_pid[197] == 3          # outside continent, inside tile 3
