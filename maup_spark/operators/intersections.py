@@ -126,6 +126,7 @@ def intersections(
             target_bounds,
             keep_geometry,
             carry_source_cols,
+            max_cells,
         )
 
     src = sources.select(
@@ -207,6 +208,7 @@ def _rect_intersections(
     target_bounds,
     keep_geometry,
     carry_source_cols=(),
+    max_cells: int | None = 4096,
 ) -> DataFrame:
     """Pure-JVM rect×rect overlay: LEAST/GREATEST arithmetic inside
     whole-stage codegen; degenerate (edge/corner touch) intersections
@@ -224,6 +226,7 @@ def _rect_intersections(
         broadcast_targets=broadcast_targets,
         source_bounds=source_bounds,
         target_bounds=target_bounds,
+        max_cells=max_cells,
     )
     sx0, sy0, sx1, sy1 = (F.col(c) for c in source_bounds)
     tx0, ty0, tx1, ty1 = (F.col(c) for c in target_bounds)

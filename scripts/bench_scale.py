@@ -186,6 +186,58 @@ def _extra_stages(spark, sf_dir):
 
         return novelty_batch(_hot_band_docs(spark, sf_dir), strategy="auto")
 
+    def _continent_mix_targets(spark):
+        # the 556-district world grid + 3 near-full-extent "continents":
+        # at res 11 each continent's bbox cover is ~4.2*10^6 cells while
+        # a 10-degree district is ~3.2k (under the 4096 cap) — the cap
+        # must exceed the TYPICAL cover, which adaptive grids guarantee
+        # by construction
+        import maup_spark.datagen as D
+
+        conts = spark.createDataFrame(
+            [
+                (
+                    9000 + i,
+                    D._rect_wkb(-179.0 + i, -89.0 + i, 179.0 - i, 89.0 - i),
+                    -179.0 + i, -89.0 + i, 179.0 - i, 89.0 - i,
+                )
+                for i in range(3)
+            ],
+            "district_id bigint, geometry binary, "
+            "dxmin double, dymin double, dxmax double, dymax double",
+        )
+        return D.districts(spark).unionByName(conts)
+
+    def _ix_continent(spark, sf_dir, max_cells):
+        from maup_spark import CellGrid
+        from maup_spark.operators.intersections import intersections
+        import maup_spark.datagen as D
+
+        return intersections(
+            D.source_rects(spark, sf_dir),
+            _continent_mix_targets(spark),
+            source_id="entity_id",
+            target_id="district_id",
+            grid=CellGrid(res=11),
+            rect_layers=True,
+            source_bounds=("x0", "y0", "x1", "y1"),
+            target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+            max_cells=max_cells,
+        )
+
+    def intersections_continent_mix(spark, sf_dir):
+        # mixed-size layer, sentinel protection ON (default cap): the
+        # 3 continents ride sentinel cells instead of ~12.6M cover rows
+        return _ix_continent(spark, sf_dir, 4096)
+
+    def intersections_continent_uncapped(spark, sf_dir):
+        # the unprotected twin: continents explode ~4.2*10^6 cover
+        # rows each into the broadcast build (at production res 14 this
+        # would be 2.7*10^8 rows per continent — the scale killer the
+        # cap exists for; at res 12 this twin already fails to finish
+        # inside 600 s)
+        return _ix_continent(spark, sf_dir, None)
+
     return {
         "simhash_pairs_64": simhash_pairs_64,
         "embedding_dedup_lsh": embedding_dedup_lsh,
@@ -195,6 +247,8 @@ def _extra_stages(spark, sf_dir):
         "url_dedup_hot": url_dedup_hot,
         "upsample_4x": upsample_4x,
         "novelty_auto_hotband": novelty_auto_hotband,
+        "intersections_continent_mix": intersections_continent_mix,
+        "intersections_continent_uncapped": intersections_continent_uncapped,
     }
 
 
