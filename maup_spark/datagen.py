@@ -172,3 +172,53 @@ def nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_id bigint, geometry binary, "
         "nxmin double, nymin double, nxmax double, nymax double",
     )
+
+
+# -- Common-Crawl-style pages table (input_hint shape) ----------------------
+# (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+# The html payload is a deterministic boilerplate wrapper around the
+# escaped document text: every non-text byte (doctype, head, script,
+# style, title, comments, attributes, MIXED-case tags) is something the
+# extractor (functions.webtext.extract_text) must remove COMPLETELY, so
+# extraction recovers the original text byte-for-byte — the per-row
+# invariant of the north_star ("byte-identical extracted text per url").
+
+_HTML_PREFIX = (
+    '<!DOCTYPE html><HTML lang="en"><head ><META charset="utf-8">'
+    "<title>Doc &amp; boilerplate</title>"
+    '<script type="text/javascript">if(a<b){track();}</script>'
+    '<style media="all">.x>y{color:red}</style></head>'
+    '<BODY class="main"><div id="content"><p>'
+)
+_HTML_SUFFIX = (
+    "</p></div><script>trailing();</script>"
+    "<!-- boilerplate <p>not text</p> --><footer></footer></BODY></HTML>"
+)
+
+
+def escape_html_text(col) -> "F.Column":
+    """HTML-escape a text node: ``&`` FIRST, then ``<`` and ``>`` (the
+    inverse of extract_text's entity decode, which does ``&amp;`` LAST)."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star input table, synthesized from documents.parquet."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit(_HTML_PREFIX), escape_html_text(F.col("text")), F.lit(_HTML_SUFFIX)
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60).alias(
+            "warc_ts"
+        ),
+        F.encode(html, "UTF-8").alias("html"),
+        "text",
+        "lang",
+    )

@@ -471,3 +471,59 @@ def host_blocklist_filter(
         host_of(F.col(url_col)) == F.col("__bl_host"),
         "left_anti",
     )
+
+
+# -- main-content extraction (html:binary -> text) --------------------------
+# Decode order is load-bearing: block elements whose CONTENT is not
+# text (comments / script / style / title) go first, then every
+# remaining tag, then entity decode with ``&amp;`` strictly LAST (the
+# inverse of escaping ``&`` strictly first) so already-escaped entities
+# in the source text round-trip byte-identically.
+_HTML_BLOCK_RES = (
+    r"(?s)<!--.*?-->",
+    r"(?is)<script[^>]*>.*?</script\s*>",
+    r"(?is)<style[^>]*>.*?</style\s*>",
+    r"(?is)<title[^>]*>.*?</title\s*>",
+)
+_HTML_ENTITIES = (  # (entity, char); &amp; MUST stay last
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text_extracted",
+    charset: str = "UTF-8",
+) -> DataFrame:
+    """Extract the text content of an HTML page stored as a ``binary``
+    column (the north_star pages table carries ``html:binary``).
+
+    Deterministic extraction spec (the per-row invariant "byte-identical
+    extracted text per url" is pytest-gated against datagen.web_pages and
+    driver-gated by the ``extract_text_pages`` oracle):
+
+    1. decode the bytes as ``charset``;
+    2. drop comment / ``<script>`` / ``<style>`` / ``<title>`` blocks
+       INCLUDING their content (non-greedy to the closing tag,
+       case-insensitive, dotall);
+    3. drop every remaining tag (``<[^>]*>`` — attributes and mixed
+       case included);
+    4. decode the standard entities, ``&amp;`` last.
+
+    Scale: a pure projection — one regexp_replace chain inside
+    whole-stage codegen, zero shuffle, zero Python.  At 10^12 pages
+    this is scan-bound; filters on other columns still push down
+    because nothing here blocks pruning."""
+    s = F.decode(F.col(html_col), charset)
+    for pat in _HTML_BLOCK_RES:
+        s = F.regexp_replace(s, pat, "")
+    s = F.regexp_replace(s, r"<[^>]*>", "")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return pages_df.withColumn(out_col, s)

@@ -3196,3 +3196,41 @@ SELECT source, CAST(T_s AS BIGINT) AS n_grams,
        CAST(CAST(T AS HUGEINT) * T_s + SUM(d) AS BIGINT) AS l1_scaled
 FROM term GROUP BY source, T_s, T
 """
+
+
+def q_extract_text_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over the north_star pages table
+    (url, warc_ts, html:binary, text, lang — datagen.web_pages).
+
+    The oracle is the CLOSED FORM of the per-row invariant the
+    north_star demands — "byte-identical extracted text per url": the
+    hash compare passes iff extract_text inverts the boilerplate
+    wrapper byte-for-byte on every row.  The whole query is one
+    regexp_replace projection chain in whole-stage codegen (zero
+    shuffle, zero Python; plan-audited)."""
+    from .datagen import web_pages
+    from .functions.webtext import extract_text
+
+    pages = web_pages(spark, sf_dir)
+    out = extract_text(pages, html_col="html", out_col="text_extracted")
+    return out.select(
+        "url",
+        "lang",
+        "text_extracted",
+        F.length("text_extracted").alias("n_chars_extracted"),
+        F.octet_length("html").alias("html_bytes"),
+    )
+
+
+QUERIES["extract_text_pages"] = q_extract_text_pages
+
+ORACLES["extract_text_pages"] = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       lang,
+       text AS text_extracted,
+       length(text) AS n_chars_extracted,
+       octet_length(encode(replace(replace(replace(text,
+         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'))) + 347 AS html_bytes
+FROM documents
+"""
