@@ -231,6 +231,13 @@ CHECKS = {
         ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
         ["Python", "Window", "CartesianProduct", "SortAggregate"],
     ),
+    # html->text extraction: one regexp_replace projection chain —
+    # no exchange of any kind, no join, no agg, no Python
+    "extract_text_pages": (
+        [],
+        ["Python", "Window", "Exchange", "Join", "Aggregate",
+         "CartesianProduct"],
+    ),
     # dedup-key text normalization: a pure projection — no exchange of
     # any kind, no join, no agg, no Python
     "normalize_text_docs": (

@@ -74,3 +74,35 @@ def test_extract_plan_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, plan
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path):
+    """Extraction is stateless, so the batch operator composes directly
+    onto the stream: file-sink output must be byte-equal to the batch
+    extraction of the same pages."""
+    from maup_spark.streaming.extract_stream import streaming_extract_text
+
+    pages = web_pages(spark, SF)
+    src = str(tmp_path / "pagesrc")
+    pages.repartition(5).write.parquet(src)
+
+    q = streaming_extract_text(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "pageckpt"),
+        output_dir=str(tmp_path / "pageout"),
+    )
+    q.awaitTermination(240)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "pageout")).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            extract_text(pages)
+            .select("url", "warc_ts", "lang", "text_extracted")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
