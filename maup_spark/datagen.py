@@ -215,7 +215,7 @@ def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
             F.col("doc_id").cast("string"),
         ).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60).alias(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 7200).alias(
             "warc_ts"
         ),
         F.encode(html, "UTF-8").alias("html"),

@@ -93,14 +93,43 @@ def write_table(
     return target
 
 
-def read_table(spark: SparkSession, target: str) -> DataFrame:
-    """Read an Iceberg catalog table or the parquet fallback path."""
+def read_table(
+    spark: SparkSession,
+    target: str,
+    day_range: tuple[str, str] | None = None,
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Read an Iceberg catalog table or the parquet fallback path.
+
+    ``day_range=("2024-01-01", "2024-01-07")`` restricts the read to a
+    crawl-day slice WITH PARTITION PRUNING on both paths: Iceberg's
+    hidden ``days(ts_col)`` partitioning prunes from the timestamp
+    predicate itself; the parquet fallback applies the predicate to the
+    physical ``__day`` partition column *before* it is dropped, so the
+    scan lists only the matching day directories (PartitionFilters in
+    the plan).  Filtering ``ts_col`` after a plain read skips row
+    groups but still lists every partition — at 10^12 rows that is the
+    difference between touching one day and touching every file's
+    footer."""
+    from pyspark.sql import functions as F
+
     if target.startswith("lake."):
         if not iceberg_available(spark):
             raise RuntimeError(
                 f"read_table: {target!r} is an Iceberg catalog table but no "
                 "Iceberg catalog is configured in this session"
             )
-        return spark.table(target)
+        df = spark.table(target)
+        if day_range is not None:
+            df = df.filter(
+                F.to_date(ts_col).between(day_range[0], day_range[1])
+            )
+        return df
     df = spark.read.parquet(target)
-    return df.drop("__day") if "__day" in df.columns else df
+    if "__day" in df.columns:
+        if day_range is not None:
+            df = df.filter(F.col("__day").between(day_range[0], day_range[1]))
+        return df.drop("__day")
+    if day_range is not None:
+        df = df.filter(F.to_date(ts_col).between(day_range[0], day_range[1]))
+    return df

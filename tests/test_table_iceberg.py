@@ -10,6 +10,7 @@ that replace py4j ClassNotFound stacks.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from maup_spark.io.table import (configure_iceberg, iceberg_available,
                                  read_table, write_table)
@@ -135,3 +136,41 @@ def test_iceberg_real_roundtrip(spark, events):
     assert spark.sql(f"SELECT COUNT(*) FROM {target}.snapshots").collect()[0][0] >= 1
     write_table(events, target, partition_col="warc_ts", mode="append")
     assert read_table(spark, target).count() == 4
+
+
+def test_day_range_partition_pruning(spark, tmp_path):
+    """A crawl-day slice must PRUNE partitions on the parquet fallback
+    (PartitionFilters on __day, only matching day directories listed),
+    not merely push a row-group filter — at 10^12 rows that is the
+    difference between reading one day and stat-ing every file."""
+    from maup_spark.datagen import web_pages
+
+    pages = web_pages(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "pages")
+    write_table(pages, out, partition_col="warc_ts")
+    n_days = pages.selectExpr("to_date(warc_ts) AS d").distinct().count()
+    assert n_days > 1
+
+    sliced = read_table(spark, out, day_range=("2024-01-01", "2024-01-01"))
+    want = pages.filter("to_date(warc_ts) = DATE '2024-01-01'").count()
+    assert 0 < want < pages.count()
+    assert sliced.count() == want
+    assert "__day" not in sliced.columns
+
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__day" in m.group(1), plan
+    # the scan's file index kept only the matching day directory
+    n_parts = (
+        sliced.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    all_parts = (
+        read_table(spark, out)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n_parts < all_parts
