@@ -205,10 +205,22 @@ def escape_html_text(col) -> "F.Column":
 
 
 def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The north_star input table, synthesized from documents.parquet."""
+    """The north_star input table, synthesized from documents.parquet.
+
+    Each page carries a deterministic LINK STRUCTURE (empty-anchor
+    ``<a href>`` tags, so text extraction stays byte-identical): a
+    same-host "next doc" link (doc_id+1) and a link to the global hub
+    page ``https://hub.example.com/`` — the hub's indegree equals the
+    corpus size, giving the link-graph operators a built-in hot key."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = F.concat(
+        F.lit('<nav><a href="https://'), F.col("source"),
+        F.lit(".example.com/doc/"), (F.col("doc_id") + 1).cast("string"),
+        F.lit('"></a><a href="https://hub.example.com/"></a></nav>'),
+    )
     html = F.concat(
-        F.lit(_HTML_PREFIX), escape_html_text(F.col("text")), F.lit(_HTML_SUFFIX)
+        F.lit(_HTML_PREFIX), escape_html_text(F.col("text")),
+        F.lit("</p>"), links, F.lit("<p>"), F.lit(_HTML_SUFFIX),
     )
     return docs.select(
         F.concat(

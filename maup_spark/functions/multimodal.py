@@ -19,47 +19,30 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_PREFIX = "<html><body>"
-_SUFFIX = "</body></html>"
-
-
 def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the Common-Crawl-style pages table from documents
-    (deterministic; schema = input_hint)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (deterministic; schema = input_hint).  Delegates to
+    datagen.web_pages — the single synthesis source of truth (escaped
+    text inside realistic boilerplate: head/script/style/title/
+    comments/attributed mixed-case tags)."""
+    from ..datagen import web_pages
+
     n_part = spark.sparkContext.defaultParallelism
-    return docs.repartition(n_part).select(
-        F.concat(F.lit("https://example.com/doc/"), F.col("doc_id")).alias("url"),
-        (
-            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
-        ).alias("warc_ts"),
-        F.encode(
-            F.concat(F.lit(_PREFIX), F.col("text"), F.lit(_SUFFIX)), "UTF-8"
-        ).alias("html"),
-        F.col("text"),
-        F.col("lang"),
-    )
+    return web_pages(spark, sf_dir).repartition(n_part)
 
 
 def extract_text(pages_df: DataFrame) -> DataFrame:
-    """HTML→text extraction (vectorized, Arrow-batched).  Strips the
-    deterministic wrapper; by construction the output must equal the
-    stored ``text`` byte-for-byte per url."""
+    """HTML→text extraction; by construction the output must equal the
+    stored ``text`` byte-for-byte per url (the determinism gate).
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            html = pdf["html"]
-            texts = []
-            for b in html:
-                s = b.decode("utf-8")
-                if s.startswith(_PREFIX) and s.endswith(_SUFFIX):
-                    texts.append(s[len(_PREFIX) : -len(_SUFFIX)])
-                else:
-                    texts.append(s)
-            yield pd.DataFrame({"url": pdf["url"], "extracted_text": texts})
+    Delegates to functions.webtext.extract_text — a pure JVM
+    regexp_replace projection chain (whole-stage codegen, zero shuffle,
+    ZERO Python; this replaced a mapInPandas prefix-stripper, removing
+    the only Python stage from the pipeline ingest path)."""
+    from .webtext import extract_text as _extract
 
-    return pages_df.select("url", "html").mapInPandas(
-        batches, schema="url string, extracted_text string"
+    return _extract(pages_df).select(
+        "url", F.col("text_extracted").alias("extracted_text")
     )
 
 

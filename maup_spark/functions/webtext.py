@@ -527,3 +527,61 @@ def extract_text(
     for ent, ch in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return pages_df.withColumn(out_col, s)
+
+
+def extract_links(
+    pages_df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    charset: str = "UTF-8",
+) -> DataFrame:
+    """Harvest outlinks: one row per ``href="..."`` in the page, as
+    (src_url, dst_url).  Comments and script/style blocks are dropped
+    first (a commented-out link is not a link), then
+    ``regexp_extract_all`` pulls every href in document order.
+
+    Scale: projection + ``explode`` (Generate) — the fan-out is
+    per-row JVM work, no shuffle.  Downstream graph aggregations
+    (degree stats, host graph) are hash-aggs over the emitted edges;
+    hub pages (every crawl has them) arrive pre-spread across
+    partitions because edges inherit the SOURCE page's partitioning."""
+    s = F.decode(F.col(html_col), charset)
+    for pat in _HTML_BLOCK_RES[:3]:  # comments, script, style
+        s = F.regexp_replace(s, pat, "")
+    hrefs = F.regexp_extract_all(s, F.lit(r'(?i)<a\s[^>]*href="([^"]*)"'), 1)
+    return pages_df.withColumn("dst_url", F.explode(hrefs)).select(
+        F.col(url_col).alias("src_url"), "dst_url"
+    )
+
+
+def host_degree_stats(edges_df: DataFrame, top_n: int = 20) -> DataFrame:
+    """Host-level link-graph degrees from an edge table
+    (src_url, dst_url): per host, pages hosted, outdegree (edges from
+    its pages) and indegree (edges into its pages), top-N by indegree
+    (full (indegree DESC, host) tie-break so the top-K set is
+    deterministic).
+
+    TWO bounded hash-aggs (one per direction, map-side combinable —
+    a hub host with 10^9 inlinks collapses to partial counts per
+    partition, never a hot shuffle key) + one outer join on host
+    (hosts ≪ edges) + TakeOrderedAndProject."""
+    out_deg = edges_df.groupBy(
+        host_of(F.col("src_url")).alias("host")
+    ).agg(
+        F.count("*").alias("outdegree"),
+        F.count_distinct("src_url").alias("n_pages"),
+    )
+    in_deg = edges_df.groupBy(host_of(F.col("dst_url")).alias("host")).agg(
+        F.count("*").alias("indegree")
+    )
+    return (
+        out_deg.join(in_deg, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("n_pages", F.lit(0)).alias("n_pages"),
+            F.coalesce("outdegree", F.lit(0)).alias("outdegree"),
+            F.coalesce("indegree", F.lit(0)).alias("indegree"),
+        )
+        .orderBy(F.desc("indegree"), "host")
+        .limit(top_n)
+    )

@@ -1109,7 +1109,9 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """,
         "pages_extract": """
-SELECT 'https://example.com/doc/' || doc_id AS url, text AS extracted_text
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       text AS extracted_text
 FROM documents
 """,
         # frame fan-out mirror: payload = md5 hex x (id%5+1) repeats ->
@@ -3231,6 +3233,43 @@ SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
        text AS text_extracted,
        length(text) AS n_chars_extracted,
        octet_length(encode(replace(replace(replace(text,
-         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'))) + 347 AS html_bytes
+         '&', '&amp;'), '<', '&lt;'), '>', '&gt;')))
+         + 444 + length(source) + length(CAST(doc_id + 1 AS VARCHAR))
+         AS html_bytes
 FROM documents
+"""
+
+
+def q_link_graph_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from harvested outlinks: every page links
+    to its same-host successor and to the global hub page, so the hub
+    host's indegree equals the corpus size (the built-in hot key —
+    absorbed by map-side partial counts, never a hot shuffle key).
+    extract_links = projection + Generate; degrees = two hash-aggs +
+    one host-level join + TakeOrderedAndProject."""
+    from .datagen import web_pages
+    from .functions.webtext import extract_links, host_degree_stats
+
+    edges = extract_links(web_pages(spark, sf_dir))
+    return host_degree_stats(edges, top_n=20)
+
+
+QUERIES["link_graph_hosts"] = q_link_graph_hosts
+
+ORACLES["link_graph_hosts"] = """
+WITH per AS (
+  SELECT source || '.example.com' AS host,
+         COUNT(DISTINCT doc_id) AS n_pages,
+         2 * COUNT(*) AS outdegree,
+         COUNT(*) AS indegree
+  FROM documents GROUP BY source
+),
+hub AS (
+  SELECT 'hub.example.com' AS host, CAST(0 AS BIGINT) AS n_pages,
+         CAST(0 AS BIGINT) AS outdegree, COUNT(*) AS indegree
+  FROM documents
+),
+allh AS (SELECT * FROM per UNION ALL SELECT * FROM hub)
+SELECT host, n_pages, outdegree, indegree
+FROM allh ORDER BY indegree DESC, host LIMIT 20
 """

@@ -238,6 +238,19 @@ CHECKS = {
         ["Python", "Window", "Exchange", "Join", "Aggregate",
          "CartesianProduct"],
     ),
+    # the pipeline ingest twin (was a mapInPandas prefix-stripper;
+    # now the same JVM chain — the repartition for downstream fan-out
+    # is its only exchange)
+    "pages_extract": (
+        [],
+        ["Python", "Window", "Join", "Aggregate", "CartesianProduct"],
+    ),
+    # link harvest + host degrees: Generate fan-out, two hash-aggs,
+    # host-level join, TakeOrderedAndProject — no window, no Python
+    "link_graph_hosts": (
+        ["Generate", "HashAggregate", "TakeOrderedAndProject"],
+        ["Python", "Window", "CartesianProduct", "SortAggregate"],
+    ),
     # dedup-key text normalization: a pure projection — no exchange of
     # any kind, no join, no agg, no Python
     "normalize_text_docs": (

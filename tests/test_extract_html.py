@@ -106,3 +106,52 @@ def test_streaming_extract_matches_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_extract_links_semantics(spark):
+    """Outlink harvest: commented-out and script-embedded links are NOT
+    links; attributed/mixed-case anchors are; empty anchors don't leak
+    text (byte-identity preserved alongside the link structure)."""
+    from maup_spark.functions.webtext import extract_links
+
+    html = (
+        '<html><body><A class="x" HREF="https://a.example.com/1"></A>'
+        '<!-- <a href="https://commented.example.com/"></a> -->'
+        '<script>var s = \'<a href="https://scripted.example.com/"></a>\';'
+        "</script>"
+        '<a href="https://b.example.com/2"></a></body></html>'
+    )
+    df = spark.createDataFrame([("https://src.example.com/0", html)],
+                               "url string, page string")
+    edges = extract_links(
+        df.select("url", F.encode("page", "UTF-8").alias("html"))
+    )
+    got = sorted((r.src_url, r.dst_url) for r in edges.collect())
+    assert got == [
+        ("https://src.example.com/0", "https://a.example.com/1"),
+        ("https://src.example.com/0", "https://b.example.com/2"),
+    ]
+
+
+def test_link_graph_hub_hot_key(spark):
+    """Closed form at sf0.001: hub indegree == corpus size; each source
+    host has outdegree 2x its pages; byte-identity still holds with the
+    link blocks in the page."""
+    from maup_spark.functions.webtext import extract_links, host_degree_stats
+
+    pages = web_pages(spark, SF)
+    n_docs = pages.count()
+    stats = host_degree_stats(extract_links(pages), top_n=50).collect()
+    by_host = {r.host: r for r in stats}
+    hub = by_host["hub.example.com"]
+    assert (hub.indegree, hub.n_pages, hub.outdegree) == (n_docs, 0, 0)
+    for host, r in by_host.items():
+        if host != "hub.example.com":
+            assert r.outdegree == 2 * r.n_pages
+    # the invariant survives the link structure
+    bad = (
+        extract_text(pages)
+        .filter(F.col("text_extracted") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
