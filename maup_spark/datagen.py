@@ -86,8 +86,28 @@ def _rect_wkb(x0: float, y0: float, x1: float, y1: float) -> bytes:
     return Geometry.polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]).wkb
 
 
+
+# Per-session memo for driver-built layers: rebuilding a
+# createDataFrame layer yields a NEW plan (fresh RDD id) every call,
+# which defeats plan-keyed caches downstream (the big-target probe
+# cache in operators.spatial) and re-serializes the rows.  One entry
+# per (application, layer) — bounded and tiny.
+_LAYER_MEMO: dict = {}
+
+
+def _memo_layer(spark: SparkSession, key: str, build):
+    k = (spark.sparkContext.applicationId, key)
+    if k not in _LAYER_MEMO:
+        _LAYER_MEMO[k] = build()
+    return _LAYER_MEMO[k]
+
+
 def districts(spark: SparkSession) -> DataFrame:
     """10°×10° world grid districts with deterministic knockouts."""
+    return _memo_layer(spark, "districts", lambda: _build_districts(spark))
+
+
+def _build_districts(spark: SparkSession) -> DataFrame:
     rows = []
     for dj in range(D_NY):
         for di in range(D_NX):
@@ -155,6 +175,12 @@ def source_rects_oracle_cte() -> str:
 
 def nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5×5 unit-square layer keyed by n_nationkey (adjacency fixture)."""
+    return _memo_layer(
+        spark, f"nation_grid:{sf_dir}", lambda: _build_nation_grid(spark, sf_dir)
+    )
+
+
+def _build_nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
     rows = [
         (

