@@ -514,26 +514,67 @@ def _cover_for_join(
     ix0, ix1 = _ix_of(grid, xmin), _ix_of(grid, xmax)
     iy0, iy1 = _iy_of(grid, ymin), _iy_of(grid, ymax)
     n = F.lit(grid.n)
-    fine = F.flatten(
-        F.transform(
-            F.sequence(iy0, iy1),
-            lambda iy: F.transform(F.sequence(ix0, ix1), lambda ix: iy * n + ix),
-        )
-    )
+    # TWO chained explode(sequence(...)) Generates, NEVER a
+    # flatten(transform(...)) array build: higher-order functions carry
+    # interpreted lambdas that whole-stage codegen cannot compile, and
+    # the per-row allocation measured 15x slower on the 2*10^8-row
+    # cover of the scaling workload (60 s -> 4 s at local[2]).  The
+    # sentinel protocol rides the same two Generates through CASE
+    # arithmetic on the sequence bounds (all codegen'd):
+    # - oversized rows clamp both sequences to one element and emit
+    #   ``collapse_to`` as their only cell;
+    # - the per-geometry extra row (``extra_cell``) is one marker
+    #   element concat'd onto the OUTER sequence, clamped to one row in
+    #   the inner explode.
     if max_cells is None:
-        cells = fine
-    else:
-        is_big = (ix1 - ix0 + 1) * (iy1 - iy0 + 1) > F.lit(max_cells)
-        cells = F.when(is_big, F.array(F.lit(collapse_to).cast("long"))).otherwise(
-            fine
+        return (
+            df.withColumn("__cov_iy", F.explode(F.sequence(iy0, iy1)))
+            .withColumn("__cov_ix", F.explode(F.sequence(ix0, ix1)))
+            .withColumn("cell_id", F.col("__cov_iy") * n + F.col("__cov_ix"))
+            .drop("__cov_iy", "__cov_ix")
         )
-        if extra_cell is not None:
-            extra = F.array(F.lit(extra_cell).cast("long"))
-            if extra_on_small_only:
-                cells = F.when(is_big, cells).otherwise(F.concat(cells, extra))
-            else:
-                cells = F.concat(cells, extra)
-    return df.withColumn("cell_id", F.explode(cells))
+    marker = F.lit(-9).cast("long")  # outside any valid iy in [0, n)
+    # materialize the box indices + is_big ONCE per input row: the
+    # floor arithmetic would otherwise re-evaluate per EMITTED row
+    # inside the inner sequence bound and the cell CASE
+    out = (
+        df.withColumn("__cov_x0", ix0)
+        .withColumn("__cov_x1", ix1)
+        .withColumn("__cov_y0", iy0)
+        .withColumn("__cov_y1", iy1)
+    )
+    cx0, cx1 = F.col("__cov_x0"), F.col("__cov_x1")
+    cy0, cy1 = F.col("__cov_y0"), F.col("__cov_y1")
+    out = out.withColumn(
+        "__cov_big",
+        (cx1 - cx0 + 1) * (cy1 - cy0 + 1) > F.lit(max_cells),
+    )
+    is_big = F.col("__cov_big")
+    iy_seq = F.sequence(cy0, F.when(is_big, cy0).otherwise(cy1))
+    if extra_cell is not None:
+        marker_arr = F.array(marker)
+        if extra_on_small_only:
+            marker_arr = F.when(
+                is_big, F.array().cast("array<bigint>")
+            ).otherwise(marker_arr)
+        iy_seq = F.concat(iy_seq, marker_arr)
+    out = out.withColumn("__cov_iy", F.explode(iy_seq))
+    is_marker = F.col("__cov_iy") == marker
+    out = out.withColumn(
+        "__cov_ix",
+        F.explode(
+            F.sequence(cx0, F.when(is_big | is_marker, cx0).otherwise(cx1))
+        ),
+    )
+    cell = (
+        F.when(is_marker, F.lit(extra_cell if extra_cell is not None else 0).cast("long"))
+        .when(is_big, F.lit(collapse_to).cast("long"))
+        .otherwise(F.col("__cov_iy") * n + F.col("__cov_ix"))
+    )
+    return out.withColumn("cell_id", cell).drop(
+        "__cov_iy", "__cov_ix", "__cov_big",
+        "__cov_x0", "__cov_x1", "__cov_y0", "__cov_y1",
+    )
 
 
 def candidate_pairs(
