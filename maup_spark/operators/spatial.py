@@ -528,10 +528,15 @@ def _cover_for_join(
     #   the inner explode.
     if max_cells is None:
         return (
-            df.withColumn("__cov_iy", F.explode(F.sequence(iy0, iy1)))
-            .withColumn("__cov_ix", F.explode(F.sequence(ix0, ix1)))
+            df.withColumn("__cov_x0", ix0)
+            .withColumn("__cov_x1", ix1)
+            .withColumn("__cov_iy", F.explode(F.sequence(iy0, iy1)))
+            .withColumn(
+                "__cov_ix",
+                F.explode(F.sequence(F.col("__cov_x0"), F.col("__cov_x1"))),
+            )
             .withColumn("cell_id", F.col("__cov_iy") * n + F.col("__cov_ix"))
-            .drop("__cov_iy", "__cov_ix")
+            .drop("__cov_iy", "__cov_ix", "__cov_x0", "__cov_x1")
         )
     marker = F.lit(-9).cast("long")  # outside any valid iy in [0, n)
     # materialize the box indices + is_big ONCE per input row: the
