@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # retain their r4/r5 rows.  The full 73-query roster still runs under
 # `make gate` (local[8] + local[2]) regardless of this ordering.
 _NEVER_DRIVER_CHECKED = [
-    "extract_text_pages", "link_graph_hosts",
+    "extract_text_pages", "link_graph_hosts", "within_distance_points",
     "sessionize_events", "sessionize_boundary",
     "substring_dedup", "bpe_encode_fixed", "bpe_trained", "corpus_doctor",
     "url_dedup_pages", "host_stats_pages", "contamination_docs",

@@ -707,3 +707,74 @@ def candidate_pairs(
     joined = joined.filter(keep)
     drop = ["cell_id"] + [f"{p}{b}" for p in ("__s_", "__t_") for b in BOUNDS]
     return joined.drop(*drop)
+
+
+def within_distance(
+    points: DataFrame,
+    targets: DataFrame,
+    distance: float,
+    point_id: str = "entity_id",
+    target_id: str = "target_id",
+    x: str = "lon",
+    y: str = "lat",
+    grid: CellGrid | None = None,
+    target_bounds: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    max_cells: int | None = 4096,
+) -> DataFrame:
+    """Range spatial join (ST_DWithin): every (point, target) pair whose
+    exact point-to-bbox distance is ≤ ``distance``, with the distance.
+
+    Plan: the target bounds are DILATED by ``distance`` before the cell
+    cover, so the ordinary ``candidate_pairs`` equi-join (a point is a
+    degenerate rect — one cover cell, one join row) surfaces exactly
+    the point-in-dilated-bbox superset; the exact distance
+    (LEAST/GREATEST clamp + sqrt, whole-stage codegen) refines it.
+    Pair uniqueness needs no dedup: a point inside the dilated bbox
+    shares its own cell as the reference point, and a point outside it
+    is farther than ``distance`` by construction.  Oversized targets
+    ride the same sentinel bounded-fan-out protocol as every other
+    spatial join (``max_cells``).
+
+    Scale: one broadcast (or salted-shuffle) equi-join, zero Python,
+    zero windows; the 10^12-row point side emits exactly one row per
+    point into the join."""
+    if grid is None:
+        grid = DEFAULT_GRID
+    d = float(distance)
+    tx0, ty0, tx1, ty1 = (F.col(c) for c in target_bounds)
+    tgt = targets.select(
+        F.col(target_id).alias("__wd_tid"),
+        tx0.alias("__wd_x0"),
+        ty0.alias("__wd_y0"),
+        tx1.alias("__wd_x1"),
+        ty1.alias("__wd_y1"),
+        (tx0 - F.lit(d)).alias("__wd_dx0"),
+        (ty0 - F.lit(d)).alias("__wd_dy0"),
+        (tx1 + F.lit(d)).alias("__wd_dx1"),
+        (ty1 + F.lit(d)).alias("__wd_dy1"),
+    )
+    pts = points.select(F.col(point_id).alias("__wd_pid"), x, y)
+    cand = candidate_pairs(
+        pts,
+        tgt,
+        grid,
+        source_geom=None,
+        target_geom=None,
+        broadcast_targets=True,
+        source_bounds=(x, y, x, y),
+        target_bounds=("__wd_dx0", "__wd_dy0", "__wd_dx1", "__wd_dy1"),
+        max_cells=max_cells,
+    )
+    px, py = F.col(x), F.col(y)
+    ddx = F.greatest(F.col("__wd_x0") - px, px - F.col("__wd_x1"), F.lit(0.0))
+    ddy = F.greatest(F.col("__wd_y0") - py, py - F.col("__wd_y1"), F.lit(0.0))
+    dist = F.sqrt(ddx * ddx + ddy * ddy)
+    return (
+        cand.withColumn("__wd_dist", dist)
+        .filter(F.col("__wd_dist") <= F.lit(d))
+        .select(
+            F.col("__wd_pid").alias(point_id),
+            F.col("__wd_tid").alias(target_id),
+            F.col("__wd_dist").alias("dist"),
+        )
+    )

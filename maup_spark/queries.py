@@ -3273,3 +3273,49 @@ allh AS (SELECT * FROM per UNION ALL SELECT * FROM hub)
 SELECT host, n_pages, outdegree, indegree
 FROM allh ORDER BY indegree DESC, host LIMIT 20
 """
+
+
+_WD_DIST = 3.0
+
+
+def q_within_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range spatial join (ST_DWithin): every (entity, district) pair
+    within 3 degrees of point-to-bbox distance, exact scaled-BIGINT
+    distance.  One broadcast equi-join on the distance-dilated cell
+    cover + codegen clamp/sqrt refine — zero Python, zero windows; the
+    point side emits exactly one join row per point.  Oracle = the full
+    cross-join distance filter (exact same IEEE ops in the same
+    order)."""
+    from .operators.spatial import within_distance
+
+    pairs = within_distance(
+        D.points(spark, sf_dir).select("entity_id", "lon", "lat"),
+        D.districts(spark),
+        distance=_WD_DIST,
+        point_id="entity_id",
+        target_id="district_id",
+        target_bounds=("dxmin", "dymin", "dxmax", "dymax"),
+    )
+    return pairs.select(
+        "entity_id",
+        "district_id",
+        F.round(F.col("dist") * 1e9).cast("long").alias("dist_e9"),
+    )
+
+
+QUERIES["within_distance_points"] = q_within_distance_points
+
+ORACLES["within_distance_points"] = f"""
+WITH pts AS ({{points_cte}}),
+d AS ({{districts_cte}}),
+cand AS (
+  SELECT entity_id, district_id,
+         GREATEST(d.x0 - lon, lon - d.x1, 0.0e0) AS ddx,
+         GREATEST(d.y0 - lat, lat - d.y1, 0.0e0) AS ddy
+  FROM pts CROSS JOIN d
+)
+SELECT entity_id, district_id,
+       CAST(ROUND(sqrt(ddx * ddx + ddy * ddy) * 1e9) AS BIGINT) AS dist_e9
+FROM cand
+WHERE sqrt(ddx * ddx + ddy * ddy) <= {_WD_DIST}
+""".format(points_cte=D.points_oracle_cte(), districts_cte=D.districts_oracle_cte())

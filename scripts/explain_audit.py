@@ -245,6 +245,12 @@ CHECKS = {
         [],
         ["Python", "Window", "Join", "Aggregate", "CartesianProduct"],
     ),
+    # range spatial join: one broadcast equi-join on the dilated cover
+    # + codegen clamp/sqrt refine — no Python, no window, no shuffle join
+    "within_distance_points": (
+        ["BroadcastHashJoin", "Generate"],
+        ["Python", "Window", "CartesianProduct", "SortMergeJoin"],
+    ),
     # link harvest + host degrees: Generate fan-out, two hash-aggs,
     # host-level join, TakeOrderedAndProject — no window, no Python
     "link_graph_hosts": (
