@@ -51,6 +51,9 @@ def _run_once(sf_dir: str, cpus: int) -> dict:
             "simhash",
             "cosine_topk",
             "pages_extract",
+            "extract_text_pages",
+            "link_graph_hosts",
+            "within_distance_points",
             "url_dedup_pages",
             "contamination_docs",
             "pack_shards_docs",
