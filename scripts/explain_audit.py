@@ -246,10 +246,13 @@ CHECKS = {
         ["Python", "Window", "Join", "Aggregate", "CartesianProduct"],
     ),
     # range spatial join: one broadcast equi-join on the dilated cover
-    # + codegen clamp/sqrt refine — no Python, no window, no shuffle join
+    # + codegen clamp/sqrt refine — no Python, no window, no shuffle
+    # join (bare "Python" would false-positive on the district layer's
+    # applySchemaToPythonRDD scan label, hence the specific markers)
     "within_distance_points": (
         ["BroadcastHashJoin", "Generate"],
-        ["Python", "Window", "CartesianProduct", "SortMergeJoin"],
+        ["ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+         "Window", "CartesianProduct", "SortMergeJoin"],
     ),
     # link harvest + host degrees: Generate fan-out, two hash-aggs,
     # host-level join, TakeOrderedAndProject — no window, no Python
