@@ -155,3 +155,25 @@ def test_link_graph_hub_hot_key(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_lang_filter_pushes_down_to_pages_scan(spark, tmp_path):
+    """The ingest-edge lang filter must reach the parquet scan as a
+    PushedFilter (row-group stats skip non-matching groups) and prune
+    the html column when only text columns are selected — at 10^12
+    pages reading html bytes you then throw away IS the job cost."""
+    src = str(tmp_path / "pages")
+    web_pages(spark, SF).write.parquet(src)
+    df = (
+        spark.read.parquet(src)
+        .filter(F.col("lang") == "en")
+        .select("url", "lang", "text")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "html" not in rs.group(1), rs.group(1) if rs else plan
+    assert df.count() > 0
