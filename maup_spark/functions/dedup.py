@@ -33,21 +33,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE) -> DataFrame:
-    """Word-level k-shingles, fully JVM-side: slice over the token array
-    via ``transform(sequence(...))`` — no window shuffle, stays in
-    whole-stage codegen (a lead-window formulation costs a shuffle+sort
-    per doc)."""
-    # NB: Spark's sequence(0, n) counts DOWN when n < 0, so short docs
-    # must short-circuit to an empty array explicitly
+    """Word-level k-shingles, fully JVM-side: arrays_zip of shifted
+    token-array slices (functions/grams.py) — no window shuffle (a
+    lead-window formulation costs a shuffle+sort per doc), and no
+    token-array reference inside a lambda body (the old
+    transform-over-sequence shape re-split the text once per shingle)."""
+    from .grams import gram_array_sql
+
+    toks = f"split({text_col}, ' ')"
     return docs.selectExpr(
-        "doc_id",
-        f"""explode(
-              CASE WHEN size(split({text_col}, ' ')) >= {k}
-                   THEN transform(
-                          sequence(0, size(split({text_col}, ' ')) - {k}),
-                          i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))
-                   ELSE array()
-              END) AS shingle""",
+        "doc_id", f"explode({gram_array_sql(toks, k)}) AS shingle"
     )
 
 
@@ -507,15 +502,12 @@ def substring_dedup(
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be >= 2 tokens")
+    from .grams import gram_array_sql
+
+    toks = f"split({text_col}, ' ')"
     grams = docs.selectExpr(
         "doc_id",
-        f"""posexplode(
-              CASE WHEN size(split({text_col}, ' ')) >= {L}
-                   THEN transform(
-                          sequence(0, size(split({text_col}, ' ')) - {L}),
-                          i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {L})))
-                   ELSE array()
-              END) AS (pos, gram)""",
+        f"posexplode({gram_array_sql(toks, L)}) AS (pos, gram)",
     ).select(
         "doc_id",
         "pos",

@@ -138,13 +138,10 @@ def repetition_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
       which is the clearer spec.)
     A crawl pipeline drops docs above thresholds on either (boilerplate
     listings, keyword stuffing, template pages)."""
+    from .grams import gram_array_sql
+
     toks = f"split({text_col}, ' ')"
-    bigrams = (
-        f"""CASE WHEN size({toks}) >= 2
-               THEN transform(sequence(0, size({toks}) - 2),
-                    i -> concat_ws(' ', slice({toks}, i + 1, 2)))
-               ELSE array() END"""
-    )
+    bigrams = gram_array_sql(toks, 2)
     # longest run of equal adjacent elements in the sorted array ==
     # max bigram multiplicity; null-safe <=> seeds the fold with NULL
     max_run = (

@@ -146,18 +146,12 @@ def host_stats(pages_df: DataFrame, url_col: str = "url",
 
 
 def _word_grams(text_col, n: int):
-    """Whitespace-token n-grams as a JVM array column (transform +
-    slice HOFs — no Python, no explode yet)."""
-    toks = F.split(text_col, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    # sequence(0, negative) would generate a DESCENDING range — guard
-    # short documents to an empty gram list instead.
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Whitespace-token n-grams as a JVM array column (arrays_zip of
+    shifted slices — no Python, no explode yet; see functions/grams.py
+    for why the old transform-over-sequence shape was quadratic)."""
+    from .grams import gram_array_col
+
+    return gram_array_col(text_col, n)
 
 
 def benchmark_grams(bench_docs: DataFrame, text_col: str = "text",

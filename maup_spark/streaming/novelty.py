@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dedup import N_BANDS, N_MINHASH, SHINGLE
+from ..functions.grams import gram_array_sql
 
 
 def minhash_sig_cols(text_col: str = "text") -> list:
@@ -47,12 +48,7 @@ def minhash_sig_cols(text_col: str = "text") -> list:
     hash family, same shingles as ``functions.dedup.minhash_signatures``
     — parity is pytest-gated)."""
     toks = f"split({text_col}, ' ')"
-    sh = (
-        f"CASE WHEN size({toks}) >= {SHINGLE} "
-        f"THEN transform(sequence(0, size({toks}) - {SHINGLE}),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, {SHINGLE}))) "
-        "ELSE array() END"
-    )
+    sh = gram_array_sql(toks, SHINGLE)
     return [
         F.expr(
             f"array_min(transform({sh},"
@@ -73,12 +69,7 @@ def band_keys_expr(text_col: str = "text") -> F.Column:
     expression tree (measured: novelty_docs 3.8 s → 0.6 s at sf0.1).
     Empty array for docs too short to shingle."""
     toks = f"split({text_col}, ' ')"
-    sh = (
-        f"CASE WHEN size({toks}) >= {SHINGLE} "
-        f"THEN transform(sequence(0, size({toks}) - {SHINGLE}),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, {SHINGLE}))) "
-        "ELSE array() END"
-    )
+    sh = gram_array_sql(toks, SHINGLE)
     hashes = ", ".join(
         f"CAST(conv(substr(md5(concat(s, '#{j // 4}')), {8 * (j % 4) + 1}, 8),"
         " 16, 10) AS BIGINT)"
