@@ -96,7 +96,12 @@ _LAYER_MEMO: dict = {}
 
 
 def _memo_layer(spark: SparkSession, key: str, build):
-    k = (spark.sparkContext.applicationId, key)
+    app_id = spark.sparkContext.applicationId
+    # evict entries from stopped applications: their DataFrames hold
+    # references into dead sessions and can never be reused
+    for k in [k for k in _LAYER_MEMO if k[0] != app_id]:
+        del _LAYER_MEMO[k]
+    k = (app_id, key)
     if k not in _LAYER_MEMO:
         _LAYER_MEMO[k] = build()
     return _LAYER_MEMO[k]

@@ -51,19 +51,34 @@ def cosine_topk(
     (rounding makes the value engine-portable; rank ties break on
     neighbor id).
     """
+    # norms are computed ONCE PER SIDE before the pair join: inside the
+    # per-pair sim expression they were interpreted HOF folds re-run for
+    # every (query, neighbor) row — 2/3 of the fold work for the same
+    # doubles (the division still multiplies the two norms in the same
+    # order, so the value is bit-identical).  Only the dot product
+    # remains per-pair.
     queries = embeddings.filter(F.col(id_col) % query_stride == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(vec_col).alias("__qn"),
     )
     cand = F.broadcast(queries).join(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            _norm(vec_col).alias("__cn"),
+        ),
         F.col("query_id") != F.col("neighbor_id"),
     )
-    sim = _dot("__qv", "__cv") / (_norm("__qv") * _norm("__cv"))
+    sim = _dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
+    # narrow projection before the rank exchange: the window only needs
+    # (query_id, neighbor_id, sim) — without the select the two
+    # 64-float vectors ride the shuffle
     return (
-        cand.withColumn("sim", F.round(sim, 6))
+        cand.select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
@@ -355,10 +370,23 @@ def embedding_dedup(
     from ..operators.components import connected_components
 
     if method == "exact":
-        e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"))
-        b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"))
-        sim = _dot("__va", "__vb") / (_norm("__va") * _norm("__vb"))
+        # per-side norms computed once, not per pair (see cosine_topk)
+        e = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            _norm(vec_col).alias("__n"),
+        )
+        a = e.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        sim = _dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
         edges = (
             a.join(b, F.col("id_a") < F.col("id_b"))
             .filter(F.round(sim, 6) >= threshold)

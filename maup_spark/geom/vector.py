@@ -296,11 +296,46 @@ def _convex_ring(g):
 def _sh_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     """Sutherland–Hodgman: clip a (closed-ring) subject polygon against a
     CONVEX closed clip ring.  Returns the OPEN vertex array of the
-    clipped polygon (possibly < 3 vertices = empty/degenerate)."""
+    clipped polygon (possibly < 3 vertices = empty/degenerate).
+
+    The per-edge pass is fully vectorized (the round-7 change): kept
+    vertices and crossing points interleave via an even/odd row mask
+    instead of a per-vertex Python loop — same emission order, same
+    ``t = side_i / (side_i - side_j)`` arithmetic on the same doubles,
+    so output is bit-identical to the loop formulation."""
     from .base import signed_area
 
     if signed_area(clip) < 0:
         clip = clip[::-1]
+    if len(subject) <= 13 and len(clip) <= 17:
+        # tiny rings (triangles, lattice cells — the overlay staple):
+        # scalar Python floats beat numpy's per-call overhead ~20x at
+        # this size, and every expression is the same IEEE-double op
+        # sequence as the array formulation, so output is bit-identical
+        out = [(float(p[0]), float(p[1])) for p in subject[:-1]]
+        nc = len(clip) - 1
+        for e in range(nc):
+            if not out:
+                break
+            cx0 = float(clip[e, 0])
+            cy0 = float(clip[e, 1])
+            ex = float(clip[e + 1, 0]) - cx0
+            ey = float(clip[e + 1, 1]) - cy0
+            side = [ex * (y - cy0) - ey * (x - cx0) for x, y in out]
+            res = []
+            m = len(out)
+            for i in range(m):
+                j = (i + 1) % m
+                si, sj = side[i], side[j]
+                if si >= 0:
+                    res.append(out[i])
+                if (si >= 0) != (sj >= 0):
+                    t = si / (si - sj)
+                    xi, yi = out[i]
+                    xj, yj = out[j]
+                    res.append((xi + t * (xj - xi), yi + t * (yj - yi)))
+            out = res
+        return np.asarray(out) if out else np.empty((0, 2))
     out = subject[:-1]
     for e in range(len(clip) - 1):
         if len(out) == 0:
@@ -308,21 +343,32 @@ def _sh_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
         cx0, cy0 = clip[e]
         ex, ey = clip[e + 1, 0] - cx0, clip[e + 1, 1] - cy0
         side = ex * (out[:, 1] - cy0) - ey * (out[:, 0] - cx0)
-        res = []
         m = len(out)
-        for i in range(m):
-            j = (i + 1) % m
-            if side[i] >= 0:
-                res.append(out[i])
-            if (side[i] >= 0) != (side[j] >= 0):
-                t = side[i] / (side[i] - side[j])
-                res.append(out[i] + t * (out[j] - out[i]))
-        out = np.asarray(res) if res else np.empty((0, 2))
+        keep = side >= 0
+        nxt = np.roll(out, -1, axis=0)
+        side_n = np.roll(side, -1)
+        cross = keep != (side_n >= 0)
+        # crossing param only where signs differ (denominator nonzero
+        # there by construction); dummy 1.0 elsewhere keeps the divide
+        # warning-free without changing any emitted value
+        denom = np.where(cross, side - side_n, 1.0)
+        t = side / denom
+        pts = out + t[:, None] * (nxt - out)
+        allv = np.empty((2 * m, 2))
+        allv[0::2] = out
+        allv[1::2] = pts
+        mask = np.empty(2 * m, dtype=bool)
+        mask[0::2] = keep
+        mask[1::2] = cross
+        out = allv[mask]
     return out
 
 
 def batch_intersection(
-    a_wkbs: pd.Series, b_wkbs: pd.Series, convex_fast: bool = True
+    a_wkbs: pd.Series,
+    b_wkbs: pd.Series,
+    convex_fast: bool = True,
+    with_wkb: bool = True,
 ) -> pd.DataFrame:
     """Exact pairwise intersection -> (wkb, area, length, is_empty).
 
@@ -341,6 +387,12 @@ def batch_intersection(
     ``convex_fast=False`` (batch_intersection_arrangement) to pin the
     general kernel — the intersections_triangles_shuffle driver query
     does, keeping the arrangement oracle-gated.
+
+    ``with_wkb=False`` skips building/serializing the intersection
+    geometry (the ``wkb`` column is all-None): area/length/is_empty
+    come from the same ring arithmetic, so overlay consumers that
+    discard geometry (``intersections(keep_geometry=False)``) avoid a
+    per-pair Geometry construction + WKB encode + Arrow transfer.
     """
     n = len(a_wkbs)
     ra = batch_rect_bounds_arr(a_wkbs)
@@ -366,20 +418,24 @@ def batch_intersection(
     length[pos] = 2.0 * (w[pos] + h[pos])
     empty[pos] = False
     pos_idx = np.nonzero(pos)[0]
-    if len(pos_idx):
+    if len(pos_idx) and with_wkb:
         rect_wkbs = batch_rect_wkb(x0[pos_idx], y0[pos_idx], x1[pos_idx], y1[pos_idx])
+        rw = rect_wkbs.to_numpy()
         for k, i in enumerate(pos_idx):
-            wkb_out[i] = rect_wkbs.iloc[k]
+            wkb_out[i] = rw[k]
 
     ca: dict = {}
     cb: dict = {}
     conv_a: dict = {}
     conv_b: dict = {}
+    from .base import ring_length as _rl
     from .base import signed_area as _sa
 
+    a_np = a_wkbs.to_numpy()
+    b_np = b_wkbs.to_numpy()
     for i in np.nonzero(slow)[0]:
-        a = a_wkbs.iloc[i]
-        b = b_wkbs.iloc[i]
+        a = a_np[i]
+        b = b_np[i]
         if a is None or b is None:
             continue
         ga = ca.get(a)
@@ -400,10 +456,10 @@ def batch_intersection(
                     closed = np.vstack([clipped, clipped[:1]])
                     ar = abs(_sa(closed))
                     if ar > 0.0:
-                        g = Geometry("Polygon", [closed])
-                        wkb_out[i] = g.wkb
+                        if with_wkb:
+                            wkb_out[i] = Geometry("Polygon", [closed]).wkb
                         area[i] = ar
-                        length[i] = g.length
+                        length[i] = _rl(closed)
                         empty[i] = False
                         continue
                 else:
@@ -418,18 +474,25 @@ def batch_intersection(
                 # zero-area clip or possible touch: exact kernel decides
         g = intersection(ga, gb)
         if not g.is_empty:
-            wkb_out[i] = g.wkb
+            if with_wkb:
+                wkb_out[i] = g.wkb
             area[i] = g.area
             length[i] = g.length
             empty[i] = False
+    if not with_wkb:
+        return pd.DataFrame(
+            {"area": area, "length": length, "is_empty": empty}
+        )
     return pd.DataFrame(
         {"wkb": wkb_out, "area": area, "length": length, "is_empty": empty}
     )
 
 
 def batch_intersection_arrangement(
-    a_wkbs: pd.Series, b_wkbs: pd.Series
+    a_wkbs: pd.Series, b_wkbs: pd.Series, with_wkb: bool = True
 ) -> pd.DataFrame:
     """batch_intersection pinned to the general planar-arrangement
     kernel for every non-rect pair (no convex clipping)."""
-    return batch_intersection(a_wkbs, b_wkbs, convex_fast=False)
+    return batch_intersection(
+        a_wkbs, b_wkbs, convex_fast=False, with_wkb=with_wkb
+    )

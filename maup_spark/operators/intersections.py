@@ -57,6 +57,16 @@ _IX_SCHEMA = StructType(
     ]
 )
 
+# keep_geometry=False twin: the kernel skips per-pair Geometry
+# construction + WKB encode and no geometry bytes cross Arrow
+_IX_SCHEMA_NOWKB = StructType(
+    [
+        StructField("area", DoubleType()),
+        StructField("length", DoubleType()),
+        StructField("is_empty", BooleanType()),
+    ]
+)
+
 
 def _intersection_batch(a, b):
     return V.batch_intersection(a, b)
@@ -66,11 +76,25 @@ def _intersection_batch_arrangement(a, b):
     return V.batch_intersection_arrangement(a, b)
 
 
+def _intersection_batch_nowkb(a, b):
+    return V.batch_intersection(a, b, with_wkb=False)
+
+
+def _intersection_batch_arrangement_nowkb(a, b):
+    return V.batch_intersection_arrangement(a, b, with_wkb=False)
+
+
 # asNondeterministic stops CollapseProject from cloning the Python call
 # once per struct-field reference (verified via .explain)
 _intersection_udf = F.pandas_udf(_intersection_batch, _IX_SCHEMA).asNondeterministic()
 _intersection_udf_arrangement = F.pandas_udf(
     _intersection_batch_arrangement, _IX_SCHEMA
+).asNondeterministic()
+_intersection_udf_nowkb = F.pandas_udf(
+    _intersection_batch_nowkb, _IX_SCHEMA_NOWKB
+).asNondeterministic()
+_intersection_udf_arrangement_nowkb = F.pandas_udf(
+    _intersection_batch_arrangement_nowkb, _IX_SCHEMA_NOWKB
 ).asNondeterministic()
 
 
@@ -140,6 +164,7 @@ def intersections(
         F.col("geometry").alias("__tgeom"),
         *(target_bounds or ()),
     )
+    ix_schema = _IX_SCHEMA if keep_geometry else _IX_SCHEMA_NOWKB
     if broadcast_targets:
         # small target layer: geometry rides a SparkContext broadcast
         # {id: wkb}; the candidate join carries ids only
@@ -156,7 +181,9 @@ def intersections(
             drop_target_geom=True,
             max_cells=max_cells,
         )
-        ix_udf = make_intersection_by_id_udf(bc, _IX_SCHEMA, exact_kernel)
+        ix_udf = make_intersection_by_id_udf(
+            bc, ix_schema, exact_kernel, with_wkb=keep_geometry
+        )
         ix_col = ix_udf(F.col("__tid"), F.col("__sgeom"))
     else:
         # target layer too big for one driver dict: NO collect anywhere —
@@ -174,18 +201,29 @@ def intersections(
             target_bounds=target_bounds,
             max_cells=max_cells,
         )
-        ix_col = (
-            _intersection_udf_arrangement
-            if exact_kernel == "arrangement"
-            else _intersection_udf
-        )(F.col("__sgeom"), F.col("__tgeom"))
+        if exact_kernel == "arrangement":
+            shuffle_udf = (
+                _intersection_udf_arrangement
+                if keep_geometry
+                else _intersection_udf_arrangement_nowkb
+            )
+        else:
+            shuffle_udf = (
+                _intersection_udf if keep_geometry else _intersection_udf_nowkb
+            )
+        ix_col = shuffle_udf(F.col("__sgeom"), F.col("__tgeom"))
+    geom_col = (
+        F.col("__ix.wkb")
+        if keep_geometry
+        else F.lit(None).cast("binary")
+    )
     out = (
         cand.withColumn("__ix", ix_col)
         .filter(~F.col("__ix.is_empty"))
         .select(
             F.col("__sid").alias(source_id),
             F.col("__tid").alias(target_id),
-            F.col("__ix.wkb").alias("geometry"),
+            geom_col.alias("geometry"),
             F.col("__ix.area").alias("area"),
             F.col("__ix.length").alias("length"),
             *carry_source_cols,

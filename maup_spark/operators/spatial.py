@@ -330,18 +330,24 @@ def covers_area_udf(t_wkbs, s_wkbs):
     )
 
 
-def make_intersection_by_id_udf(bc, schema, exact_kernel: str = "auto"):
+def make_intersection_by_id_udf(
+    bc, schema, exact_kernel: str = "auto", with_wkb: bool = True
+):
     """(target_id, source_wkb) -> intersection struct, target geometry
     from broadcast (source WKB still ships once per pair).
-    ``exact_kernel="arrangement"`` disables the convex-pair fast clip
-    (see geom.vector.batch_intersection)."""
+    ``exact_kernel="arrangement"`` disables the convex-pair fast clip;
+    ``with_wkb=False`` (with a wkb-less schema) skips building and
+    serializing the intersection geometry (see
+    geom.vector.batch_intersection)."""
     convex_fast = exact_kernel != "arrangement"
 
     def batch(tids, swkbs):
         import pandas as pd
 
         twkbs = pd.Series([bc.value[t] for t in tids])
-        return V.batch_intersection(swkbs, twkbs, convex_fast=convex_fast)
+        return V.batch_intersection(
+            swkbs, twkbs, convex_fast=convex_fast, with_wkb=with_wkb
+        )
 
     return F.pandas_udf(batch, schema).asNondeterministic()
 
@@ -646,8 +652,14 @@ def candidate_pairs(
         # pays it again (measured: the whole spatial family regressed
         # 1.5-7x when the probe first landed uncached).  semanticHash
         # keys the *plan*, so re-registering the same layer hits.
+        app_id = t0.sparkSession.sparkContext.applicationId
+        # evict verdicts from stopped applications: entries keyed by a
+        # dead appId can never hit again and would grow without bound
+        # across sessions in one Python process
+        for k in [k for k in _BIG_TARGET_PROBE_CACHE if k[0] != app_id]:
+            del _BIG_TARGET_PROBE_CACHE[k]
         key = (
-            t0.sparkSession.sparkContext.applicationId,
+            app_id,
             t0._jdf.queryExecution().analyzed().semanticHash(),
             grid.res,
             max_cells,
@@ -665,8 +677,19 @@ def candidate_pairs(
         collapse_to=BIG_SRC_CELL,
         extra_cell=BIG_TGT_CELL if big_targets_exist else None,
     )
+    # Target-side collapse is CONDITIONAL on the probe verdict: when the
+    # probe said "no big targets", an (impossibly stale) oversized row
+    # must fan out through the fine cover rather than collapse to
+    # BIG_TGT_CELL — sources only carry the BIG_TGT_CELL meeting key
+    # when the probe fired, so an unconditional collapse would silently
+    # DROP those pairs while the conditional one merely runs slower.
+    # The huge cap keeps the extra BIG_SRC_CELL row (needed whenever the
+    # source side is capped) without ever collapsing a target.
+    t_cap = max_cells if big_targets_exist else (
+        (1 << 62) if max_cells is not None else None
+    )
     t = _cover_for_join(
-        t0, grid, "__t_", max_cells,
+        t0, grid, "__t_", t_cap,
         collapse_to=BIG_TGT_CELL,
         extra_cell=BIG_SRC_CELL if max_cells is not None else None,
         extra_on_small_only=True,

@@ -653,6 +653,9 @@ def q_intersections_triangles(
         )
         .withColumn("geometry", rect_udf("cx0", "cy0", "cx1", "cy1"))
     )
+    # keep_geometry=False: this query consumes only the area, so the
+    # kernel skips per-pair intersection-WKB construction + Arrow bytes
+    # (area/length come from the same ring arithmetic — bit-identical)
     ix = intersections(
         tri,
         cells,
@@ -661,7 +664,7 @@ def q_intersections_triangles(
         source_bounds=("sx0", "sy0", "sx1", "sy1"),
         target_bounds=("cx0", "cy0", "cx1", "cy1"),
         rect_layers=False,
-        keep_geometry=True,
+        keep_geometry=False,
         broadcast_targets=broadcast_targets,
         exact_kernel=exact_kernel,
     )

@@ -170,6 +170,18 @@ def novelty_batch(
         from ..telemetry import skew_report
 
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        # evict the PREVIOUS call's probe cache: the persist must outlive
+        # this call's result materialization (the band rows feed both the
+        # probe and the main path), so it cannot be unpersisted here —
+        # but keeping every historical handle leaked one cached band
+        # table per call for the life of the session
+        prior = getattr(novelty_batch, "_last_bands", None)
+        if prior is not None:
+            try:
+                prior.unpersist()
+            except Exception:
+                pass
+        novelty_batch._last_bands = bands
         rep = skew_report(
             bands.select(F.concat_ws("\x00", "band", "key").alias("__bk")),
             "__bk",
