@@ -256,22 +256,31 @@ def _cycle_sample(walk: np.ndarray, all_edges_arr: np.ndarray | None):
 
     Offsets from the midpoint of the walk's longest edge by a distance
     safely below the gap to the nearest non-incident arrangement edge.
-    """
-    seg = np.diff(walk, axis=0)
-    lens = np.hypot(seg[:, 0], seg[:, 1])
-    i = int(np.argmax(lens))
-    ln = lens[i]
+    Small walks run on scalar floats (numpy per-call overhead dominates
+    at arrangement-of-one-pair sizes)."""
+    pts = walk.tolist()
+    m = len(pts) - 1
+    best_i, best_l2 = 0, -1.0
+    for i in range(m):
+        dx = pts[i + 1][0] - pts[i][0]
+        dy = pts[i + 1][1] - pts[i][1]
+        l2 = dx * dx + dy * dy
+        if l2 > best_l2:
+            best_i, best_l2 = i, l2
+    i = best_i
+    ln = math.hypot(pts[i + 1][0] - pts[i][0], pts[i + 1][1] - pts[i][1])
     if ln <= 0:
         return (float(walk[0, 0]), float(walk[0, 1]))
-    mx = 0.5 * (walk[i, 0] + walk[i + 1, 0])
-    my = 0.5 * (walk[i, 1] + walk[i + 1, 1])
-    nx, ny = -seg[i, 1] / ln, seg[i, 0] / ln  # left normal
+    sx = pts[i + 1][0] - pts[i][0]
+    sy = pts[i + 1][1] - pts[i][1]
+    mx = 0.5 * (pts[i][0] + pts[i + 1][0])
+    my = 0.5 * (pts[i][1] + pts[i + 1][1])
+    nx, ny = -sy / ln, sx / ln  # left normal
     eps = 0.25 * ln
     if all_edges_arr is not None and len(all_edges_arr):
-        d = _point_seg_dist(mx, my, all_edges_arr)
-        d = d[d > 1e-13]  # the chosen edge itself is at distance 0
-        if len(d):
-            eps = min(eps, 0.45 * float(d.min()))
+        dmin = _point_seg_dist_min(mx, my, all_edges_arr)
+        if dmin is not None:
+            eps = min(eps, 0.45 * dmin)
     eps = max(eps, 1e-12)
     return (mx + eps * nx, my + eps * ny)
 
@@ -281,10 +290,35 @@ def _point_seg_dist(px, py, segs: np.ndarray):
     x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
     dx, dy = x2 - x1, y2 - y1
     ll = dx * dx + dy * dy
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = np.clip(((px - x1) * dx + (py - y1) * dy) / np.where(ll == 0, 1, ll), 0, 1)
+    # ll==0 rows are where-guarded before the divide; no errstate needed
+    t = np.clip(((px - x1) * dx + (py - y1) * dy) / np.where(ll == 0, 1, ll), 0, 1)
     qx, qy = x1 + t * dx, y1 + t * dy
     return np.hypot(qx - px, qy - py)
+
+
+def _point_seg_dist_min(px, py, segs: np.ndarray):
+    """min distance from (px,py) to segments, ignoring incident (~0)
+    distances; None when every segment is incident.  Scalar loop below
+    ~48 segments (the one-pair arrangement size), vectorized above."""
+    if len(segs) <= 48:
+        best = None
+        for x1, y1, x2, y2 in segs.tolist():
+            dx, dy = x2 - x1, y2 - y1
+            ll = dx * dx + dy * dy
+            if ll == 0:
+                ll = 1.0
+            t = ((px - x1) * dx + (py - y1) * dy) / ll
+            if t < 0.0:
+                t = 0.0
+            elif t > 1.0:
+                t = 1.0
+            d = math.hypot(x1 + t * dx - px, y1 + t * dy - py)
+            if d > 1e-13 and (best is None or d < best):
+                best = d
+        return best
+    d = _point_seg_dist(px, py, segs)
+    d = d[d > 1e-13]
+    return float(d.min()) if len(d) else None
 
 
 class Cycle:

@@ -30,7 +30,21 @@ def _close_ring(ring: np.ndarray) -> np.ndarray:
 
 
 def signed_area(ring: np.ndarray) -> float:
-    """Shoelace signed area of a closed ring (CCW positive)."""
+    """Shoelace signed area of a closed ring (CCW positive).
+
+    Rings with fewer than 8 cross terms take a scalar loop: numpy's sum
+    is a plain sequential accumulation below 8 elements (pairwise
+    blocking starts at 8), so the scalar path adds the SAME products in
+    the SAME order — bit-identical — while skipping four array
+    allocations per call.  Larger rings keep np.sum so the historical
+    pairwise-summed values (hashed by the oracles) are unchanged."""
+    n = len(ring) - 1
+    if n < 8:
+        pts = ring.tolist()
+        s = 0.0
+        for i in range(n):
+            s += pts[i][0] * pts[i + 1][1] - pts[i + 1][0] * pts[i][1]
+        return 0.5 * s
     x, y = ring[:, 0], ring[:, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
@@ -41,7 +55,24 @@ def ring_length(ring: np.ndarray) -> float:
 
 
 def point_in_ring(x: float, y: float, ring: np.ndarray) -> bool:
-    """Even-odd crossing test against one closed ring."""
+    """Even-odd crossing test against one closed ring.
+
+    Small rings take a scalar-float loop (numpy's per-call overhead
+    dominates below ~64 vertices); the expressions are the same IEEE
+    double ops as the array path, so the boolean is identical."""
+    n = len(ring) - 1
+    if n <= 64:
+        pts = ring.tolist()
+        inside = False
+        x = float(x)
+        y = float(y)
+        for i in range(n):
+            xs, ys = pts[i]
+            xe, ye = pts[i + 1]
+            if (ys > y) != (ye > y):
+                if x < xs + (y - ys) * (xe - xs) / (ye - ys):
+                    inside = not inside
+        return inside
     xs, ys = ring[:-1, 0], ring[:-1, 1]
     xe, ye = ring[1:, 0], ring[1:, 1]
     cond = (ys > y) != (ye > y)
