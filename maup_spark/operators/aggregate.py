@@ -49,6 +49,12 @@ def aggregate_by_assignment(
     Sources assigned to no target (NULL assignment) are dropped, same
     as pandas groupby on a NaN key.  Returns one row per target that
     received at least one source: (target_id, <col>_sum ...).
+
+    The data columns ride THROUGH the assignment
+    (``carry_source_cols`` + ``only_assigned``) instead of a second
+    full-size sources⋈assignment shuffle join — one fewer exchange of
+    the source table, identical sums (the join keyed rows 1:1 by
+    source id).
     """
     from .assign import assign
 
@@ -61,15 +67,13 @@ def aggregate_by_assignment(
         target_bounds=target_bounds,
         broadcast_targets=broadcast_targets,
         layers_are_rects=layers_are_rects,
+        carry_source_cols=tuple(columns),
+        only_assigned=True,
     )
-    joined = sources.select(source_id, *columns).join(
-        assignment.filter(F.col(target_id).isNotNull()).select(
-            source_id, target_id
-        ),
-        source_id,
-    )
-    return joined.groupBy(target_id).agg(
-        *[F.sum(c).alias(f"{c}_sum") for c in columns]
+    return (
+        assignment.filter(F.col(target_id).isNotNull())
+        .groupBy(target_id)
+        .agg(*[F.sum(c).alias(f"{c}_sum") for c in columns])
     )
 
 

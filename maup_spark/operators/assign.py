@@ -25,7 +25,7 @@ distance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -381,6 +381,8 @@ def assign(
     warn_unassigned: bool = False,
     broadcast_targets: bool = True,
     layers_are_rects: bool = False,
+    carry_source_cols: tuple = (),
+    only_assigned: bool = False,
 ) -> DataFrame:
     """Polygon→polygon assignment (reference semantics above).
 
@@ -402,7 +404,9 @@ def assign(
             raise ValueError("layers_are_rects requires both bounds tuples")
         # bounds-only projection: the geometry column (often itself a
         # synthesized/parsed expression) never enters the plan at all
-        src = sources.select(F.col(source_id).alias("__sid"), *source_bounds)
+        src = sources.select(
+            F.col(source_id).alias("__sid"), *source_bounds, *carry_source_cols
+        )
         tgt = targets.select(F.col(target_id).alias("__tid"), *target_bounds)
         cand = candidate_pairs(
             src, tgt, grid, None, None,
@@ -414,6 +418,7 @@ def assign(
             F.col(source_id).alias("__sid"),
             F.col("geometry").alias("__sgeom"),
             *(source_bounds or ()),
+            *carry_source_cols,
         )
         tgt = targets.select(
             F.col(target_id).alias("__tid"),
@@ -444,6 +449,7 @@ def assign(
             .alias("__cov"),
             F.when((ww > 0) & (hh > 0), ww * hh).otherwise(F.lit(0.0))
             .alias("__area"),
+            *carry_source_cols,
         )
     elif broadcast_targets:
         bc = geom_broadcast(tgt, "__tid", "__tgeom")
@@ -453,6 +459,7 @@ def assign(
             "__tid",
             F.col("__ca.covers").alias("__cov"),
             F.col("__ca.area").alias("__area"),
+            *carry_source_cols,
         )
     else:
         ca = covers_area_udf(F.col("__tgeom"), F.col("__sgeom"))
@@ -461,32 +468,51 @@ def assign(
             "__tid",
             F.col("__ca.covers").alias("__cov"),
             F.col("__ca.area").alias("__area"),
+            *carry_source_cols,
         )
-    w = Window.partitionBy("__sid")
-    pairs = pairs.withColumn(
-        "__ncov", F.sum(F.col("__cov").cast("int")).over(w)
+    # ONE map-side-combinable hash aggregation replaces the former
+    # two-window formulation (count-of-covers window + row_number
+    # window): min(struct(-area, tid)) IS the (area DESC, tid ASC)
+    # top-1 — identical rows, ties and all — while the windows paid an
+    # exchange + per-partition sort of every candidate pair and, at
+    # scale, serialized a hot source into one sort task where the agg
+    # combines map-side.  Covering pick: with exactly one covering
+    # target, min(when(cov, tid)) is that target.
+    agg = pairs.groupBy("__sid").agg(
+        F.sum(F.col("__cov").cast("int")).alias("__ncov"),
+        F.min(F.when(F.col("__cov"), F.col("__tid"))).alias("__ctid"),
+        F.min(
+            F.when(
+                F.col("__area") > 0,
+                F.struct(
+                    (-F.col("__area")).alias("na"),
+                    F.col("__tid").alias("t"),
+                ),
+            )
+        ).alias("__ab"),
+        *[F.first(c).alias(c) for c in carry_source_cols],
     )
-    eligible = pairs.filter(
-        ((F.col("__ncov") == 1) & F.col("__cov"))
-        | ((F.col("__ncov") != 1) & (F.col("__area") > 0))
+    best = agg.select(
+        F.col("__sid").alias(source_id),
+        F.when(F.col("__ncov") == 1, F.col("__ctid"))
+        .otherwise(F.col("__ab.t"))
+        .alias(target_id),
+        F.when(F.col("__ncov") == 1, F.lit("covering"))
+        .when(F.col("__ab").isNotNull(), F.lit("area"))
+        .alias("method"),
+        *carry_source_cols,
     )
-    wr = Window.partitionBy("__sid").orderBy(F.desc("__area"), F.asc("__tid"))
-    best = (
-        eligible.withColumn("__rn", F.row_number().over(wr))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("__sid").alias(source_id),
-            F.col("__tid").alias(target_id),
-            F.when(F.col("__ncov") == 1, F.lit("covering"))
-            .otherwise(F.lit("area"))
-            .alias("method"),
+    if only_assigned:
+        # candidate-less sources are absent and NULL-target rows keep
+        # their NULL: callers that drop unassigned rows anyway (the
+        # aggregate idiom) skip the per-source re-join entirely
+        out = best
+    else:
+        out = (
+            sources.select(source_id)
+            .join(best, source_id, "left")
+            .select(source_id, target_id, "method", *carry_source_cols)
         )
-    )
-    out = (
-        sources.select(source_id)
-        .join(best, source_id, "left")
-        .select(source_id, target_id, "method")
-    )
     if warn_unassigned:
         import warnings as _w
 
@@ -602,10 +628,18 @@ def assign_to_max(
     """Per-source argmax over a (source, target, weight) relationship —
     the reference's groupby-idxmax (/root/reference/maup/assign.py:49-54).
     Tie-break: smallest target id (pandas idxmax first-occurrence over
-    (source,target)-sorted input)."""
-    w = Window.partitionBy(source_id).orderBy(F.desc(weight), F.asc(target_id))
-    return (
-        weights.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(source_id, target_id)
+    (source,target)-sorted input).
+
+    ONE hash aggregation: ``min(struct(-weight, target))`` is the
+    (weight DESC, target ASC) top-1 — identical to the former
+    row_number window on non-null weights (the operator's contract),
+    but map-side-combinable, so a hot source reduces per partition
+    instead of serializing into one window-sort task."""
+    best = weights.groupBy(source_id).agg(
+        F.min(
+            F.struct(
+                (-F.col(weight)).alias("nw"), F.col(target_id).alias("t")
+            )
+        ).alias("__b")
     )
+    return best.select(source_id, F.col("__b.t").alias(target_id))
