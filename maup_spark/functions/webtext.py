@@ -555,26 +555,38 @@ def host_degree_stats(edges_df: DataFrame, top_n: int = 20) -> DataFrame:
     (full (indegree DESC, host) tie-break so the top-K set is
     deterministic).
 
-    TWO bounded hash-aggs (one per direction, map-side combinable —
-    a hub host with 10^9 inlinks collapses to partial counts per
-    partition, never a hot shuffle key) + one outer join on host
-    (hosts ≪ edges) + TakeOrderedAndProject."""
-    out_deg = edges_df.groupBy(
-        host_of(F.col("src_url")).alias("host")
-    ).agg(
-        F.count("*").alias("outdegree"),
-        F.count_distinct("src_url").alias("n_pages"),
-    )
-    in_deg = edges_df.groupBy(host_of(F.col("dst_url")).alias("host")).agg(
-        F.count("*").alias("indegree")
-    )
+    ONE pass over the edge table (round 7): each edge fans out to a
+    (src_host, out) and a (dst_host, in) contribution row and one
+    bounded hash-agg computes all three degrees — the former
+    per-direction formulation scanned ``edges_df`` twice, and when the
+    edges come straight from ``extract_links`` each scan re-ran the
+    whole HTML regex chain.  Still map-side combinable (a hub host
+    with 10^9 inlinks collapses to partial counts per partition, never
+    a hot shuffle key) + TakeOrderedAndProject."""
+    contrib = edges_df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    host_of(F.col("src_url")).alias("host"),
+                    F.lit(1).alias("out"),
+                    F.col("src_url").alias("page"),
+                    F.lit(0).alias("ind"),
+                ),
+                F.struct(
+                    host_of(F.col("dst_url")).alias("host"),
+                    F.lit(0).alias("out"),
+                    F.lit(None).cast("string").alias("page"),
+                    F.lit(1).alias("ind"),
+                ),
+            )
+        ).alias("__c")
+    ).select("__c.host", "__c.out", "__c.page", "__c.ind")
     return (
-        out_deg.join(in_deg, "host", "full_outer")
-        .select(
-            "host",
-            F.coalesce("n_pages", F.lit(0)).alias("n_pages"),
-            F.coalesce("outdegree", F.lit(0)).alias("outdegree"),
-            F.coalesce("indegree", F.lit(0)).alias("indegree"),
+        contrib.groupBy("host")
+        .agg(
+            F.count_distinct("page").alias("n_pages"),
+            F.sum("out").cast("bigint").alias("outdegree"),
+            F.sum("ind").cast("bigint").alias("indegree"),
         )
         .orderBy(F.desc("indegree"), "host")
         .limit(top_n)
