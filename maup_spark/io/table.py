@@ -121,8 +121,19 @@ def read_table(
             )
         df = spark.table(target)
         if day_range is not None:
+            # raw timestamp range, not to_date(ts): a function-wrapped
+            # predicate is not convertible to a DSv2 pushdown filter, so
+            # the days(ts) hidden partitioning would not prune and the
+            # scan would list every partition — the failure mode this
+            # parameter exists to avoid.  [day0, day1 + 1 day) over the
+            # bare column selects exactly the same rows and Iceberg
+            # prunes it through the days() transform.
+            day0 = F.to_timestamp(F.lit(day_range[0]))
+            day1 = F.to_timestamp(
+                F.date_add(F.to_date(F.lit(day_range[1])), 1)
+            )
             df = df.filter(
-                F.to_date(ts_col).between(day_range[0], day_range[1])
+                (F.col(ts_col) >= day0) & (F.col(ts_col) < day1)
             )
         return df
     df = spark.read.parquet(target)
