@@ -42,6 +42,7 @@ def aggregate_by_assignment(
     target_bounds: tuple | None = None,
     broadcast_targets: bool = True,
     layers_are_rects: bool = False,
+    grid=None,
 ) -> DataFrame:
     """Sum ``columns`` of sources per assigned target (reference idiom
     ``sources[columns].groupby(assign(sources, targets)).sum()``).
@@ -57,12 +58,14 @@ def aggregate_by_assignment(
     source id).
     """
     from .assign import assign
+    from .spatial import DEFAULT_GRID
 
     assignment = assign(
         sources,
         targets,
         source_id=source_id,
         target_id=target_id,
+        grid=grid if grid is not None else DEFAULT_GRID,
         source_bounds=source_bounds,
         target_bounds=target_bounds,
         broadcast_targets=broadcast_targets,
