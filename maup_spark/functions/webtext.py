@@ -513,7 +513,16 @@ def extract_text(
     Scale: a pure projection — one regexp_replace chain inside
     whole-stage codegen, zero shuffle, zero Python.  At 10^12 pages
     this is scan-bound; filters on other columns still push down
-    because nothing here blocks pruning."""
+    because nothing here blocks pruning.
+
+    ENVELOPE (pinned by tests/test_extract_html.py): this is a regex
+    extractor, byte-exact on the datagen HTML grammar; constructs
+    outside it behave deterministically but not like an HTML5 parser —
+    CDATA blocks are dropped whole (content included); a ``</script>``
+    inside a JS string ends the script block early and the remainder
+    leaks as text; IE conditional comments drop as ordinary comments;
+    a ``>`` inside a quoted attribute value terminates the tag match
+    early and the attribute tail leaks as text."""
     s = F.decode(F.col(html_col), charset)
     for pat in _HTML_BLOCK_RES:
         s = F.regexp_replace(s, pat, "")

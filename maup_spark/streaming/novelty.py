@@ -170,15 +170,25 @@ def novelty_batch(
         from ..telemetry import skew_report
 
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-        # evict the PREVIOUS call's probe cache: the persist must outlive
-        # this call's result materialization (the band rows feed both the
-        # probe and the main path), so it cannot be unpersisted here —
-        # but keeping every historical handle leaked one cached band
-        # table per call for the life of the session
+        # evict the PREVIOUS call's probe cache — but only when its plan
+        # DIFFERS from this call's: the persist must outlive this call's
+        # result materialization (the band rows feed both the probe and
+        # the main path) so it cannot be unpersisted here, and keeping
+        # every historical handle leaked one cached band table per
+        # distinct input for the life of the session.  For an IDENTICAL
+        # plan (repeated batches over the same input), Spark's cache
+        # manager maps the new persist to the existing cached relation
+        # anyway — unpersisting it would evict the relation mid-reuse.
+        # Net: at most one cached band table per distinct input stream.
         prior = getattr(novelty_batch, "_last_bands", None)
         if prior is not None:
             try:
-                prior.unpersist()
+                same = (
+                    prior._jdf.queryExecution().analyzed().semanticHash()
+                    == bands._jdf.queryExecution().analyzed().semanticHash()
+                )
+                if not same:
+                    prior.unpersist()
             except Exception:
                 pass
         novelty_batch._last_bands = bands

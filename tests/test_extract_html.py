@@ -177,3 +177,56 @@ def test_lang_filter_pushes_down_to_pages_scan(spark, tmp_path):
     rs = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert rs and "html" not in rs.group(1), rs.group(1) if rs else plan
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Envelope pins (round 7, VERDICT item): extract_text is a REGEX
+# extractor whose byte-identity contract holds on the datagen grammar;
+# these fixtures pin its deterministic behavior on HTML constructs
+# OUTSIDE that grammar so any future regex change that silently shifts
+# the envelope fails here rather than in an oracle.
+# ---------------------------------------------------------------------------
+
+
+def _extract_one(spark, html: str) -> str:
+    df = spark.createDataFrame([(html.encode("utf-8"),)], "html binary")
+    return extract_text(df).collect()[0]["text_extracted"]
+
+
+def test_envelope_cdata_block_is_dropped(spark):
+    # CDATA is not in the supported grammar: the generic <[^>]*> pass
+    # consumes from '<' to the FIRST '>', which for a ]]>-terminated
+    # block is the whole construct — content inside CDATA is DROPPED,
+    # not emitted as text (real HTML5 parsers emit it for foreign
+    # content).  Pinned, documented in extract_text.
+    assert _extract_one(spark, "a<![CDATA[x < y]]>b") == "ab"
+
+
+def test_envelope_script_with_closing_tag_in_string(spark):
+    # '</script>' inside a JS string literal ends the block early (the
+    # non-greedy block regex cannot know about JS strings): the REST of
+    # the script body leaks through tag-stripping as text.  Pinned.
+    html = '<script>var s = "</script>"; real();</script>after'
+    assert _extract_one(spark, html) == '"; real();after'
+
+
+def test_envelope_conditional_comment_dropped_whole(spark):
+    # IE conditional comments are ordinary comments to the regex: the
+    # whole block, including its inner markup, is dropped at step 2.
+    html = "x<!--[if IE]><p>ie only</p><![endif]-->y"
+    assert _extract_one(spark, html) == "xy"
+
+
+def test_envelope_gt_inside_attribute_leaks(spark):
+    # '>' inside a quoted attribute value terminates the generic tag
+    # match early; the remainder of the attribute leaks as text.  The
+    # datagen grammar never emits '>' in attributes, so the oracle
+    # contract is unaffected.  Pinned.
+    assert _extract_one(spark, '<a title="a>b">x</a>') == 'b">x'
+
+
+def test_envelope_nested_comment_markers(spark):
+    # '<!--' ... '-->' pairs match non-greedily left to right: the
+    # first '-->' closes the comment, so a nested '<!--' does not
+    # extend it and the trailing 'b-->' survives as text.  Pinned.
+    assert _extract_one(spark, "a<!-- outer <!-- inner -->b-->c") == "ab-->c"
