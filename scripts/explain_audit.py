@@ -52,9 +52,17 @@ CHECKS = {
     # zero Python STAGES (the bare "Python" token would false-positive
     # on applySchemaToPythonRDD, the 556-row local districts fixture
     # materializing via createDataFrame)
+    # round 7: the two-window + join-back assign tail became ONE
+    # groupBy(source) aggregation whose argmax is min(struct(-area,
+    # tid)).  A struct min has an immutable buffer, so Spark plans the
+    # pair aggregation as SortAggregate — but with partial_min BEFORE
+    # the exchange (verified in plans/r07/aggregate_rects_after.txt),
+    # so map-side combining holds and the plan must contain NO Window
+    # and no second sources join (the properties the rewrite bought:
+    # 6 Window nodes -> 0, 2.68 s -> 1.85 s at sf1.0)
     "aggregate_rects": (
-        ["BroadcastHashJoin", "HashAggregate"],
-        ["CartesianProduct", "SortAggregate", "ArrowEvalPython",
+        ["BroadcastHashJoin", "SortAggregate"],
+        ["Window", "CartesianProduct", "ArrowEvalPython",
          "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"],
     ),
     # Gopher repetition signals: pure per-row projection (sorted-run
