@@ -127,7 +127,14 @@ def test_iceberg_real_roundtrip(spark, events):
     iceberg-spark-runtime on the classpath this flips from skip to pass
     with no code change."""
     if not iceberg_available(spark):
-        pytest.skip("no Iceberg runtime in this session (jar/catalog absent)")
+        pytest.skip(
+            "blocking artifact: iceberg-spark-runtime jar "
+            "(org.apache.iceberg:iceberg-spark-runtime-3.5_2.13) is not on "
+            "the classpath and no `lake` catalog is configured — set "
+            "SPARK_GRAFT_ICEBERG_JARS=/path/to/iceberg-spark-runtime.jar "
+            "(get_spark wires the catalog) and this test flips to PASS "
+            "with no code change"
+        )
     target = "lake.it.pages_roundtrip"
     write_table(events, target, partition_col="warc_ts")
     back = read_table(spark, target)
